@@ -1,0 +1,25 @@
+"""Test configuration: run JAX on a fake 8-device CPU mesh.
+
+Multi-chip hardware is unavailable in CI; sharding correctness is validated
+on a host-platform mesh (the standard JAX trick), mirroring SURVEY.md §4's
+recommended strategy.
+
+Note: the environment's sitecustomize imports jax and pins JAX_PLATFORMS to
+the TPU plugin before pytest starts, so plain env vars are too late — we
+override through jax.config (backends initialize lazily, so this still wins
+as long as no computation ran at import time).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,16 @@
+from vats_tpu.inference.sampling import (
+    apply_repetition_penalty,
+    apply_top_k,
+    apply_top_p,
+    sample_logits,
+)
+from vats_tpu.inference.generate import TokenGenerator, generate
+
+__all__ = [
+    "TokenGenerator",
+    "apply_repetition_penalty",
+    "apply_top_k",
+    "apply_top_p",
+    "generate",
+    "sample_logits",
+]

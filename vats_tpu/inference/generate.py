@@ -1,0 +1,229 @@
+"""Jitted autoregressive generation: prefill + lax.while_loop decode.
+
+TPU-native redesign of ``AutoregressiveTokenGenerator``
+(/root/reference/src/transformers/nlp/inference/generate.py:15-296).  The
+reference runs an eager python loop per token, growing ``generated_ids`` and
+the attention mask each step (:226-232); here the whole generation is ONE
+compiled program:
+
+  * static [B, total_len] token + validity buffers
+  * functional KV cache appended in place (donated)
+  * per-step sampling (repetition penalty / temperature / top-k / top-p)
+    vectorized over the batch
+  * EOS tracking via an ``unfinished`` flag vector; finished rows emit
+    pad_token_id (reference :223)
+  * early exit when all rows finish via the while_loop condition
+
+``generate`` reproduces the reference's *uncached* forward semantics (the
+well-defined path — the reference's cached decode carries the double-append
+and RoPE-position defects catalogued in SURVEY.md §2.13.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vats_tpu.configs.nlp import GenerationArgs, ModelArgs
+from vats_tpu.inference.sampling import sample_logits
+from vats_tpu.models.text_lm import TextLM
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "max_new_tokens",
+        "temperature",
+        "top_k",
+        "top_p",
+        "do_sample",
+        "repetition_penalty",
+        "pad_token_id",
+        "eos_token_id",
+        "total_len",
+    ),
+)
+def generate(
+    model: TextLM,
+    params: Any,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray],
+    rng: jax.Array,
+    *,
+    max_new_tokens: int,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    do_sample: bool = True,
+    repetition_penalty: Optional[float] = None,
+    pad_token_id: int = 0,
+    eos_token_id: Optional[int] = None,
+    total_len: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Generate up to ``max_new_tokens`` after a right-padded prompt.
+
+    input_ids: [B, T_prompt] int32.  attention_mask: [B, T_prompt] bool
+    (True = real token) or None.  Returns (tokens [B, total_len], lengths [B])
+    where lengths counts valid tokens (prompt + generated) per row.
+    """
+    b, t_prompt = input_ids.shape
+    cfg = model.cfg
+    if total_len is None:
+        total_len = min(cfg.max_seq_len, t_prompt + max_new_tokens)
+    num_new = max(0, total_len - t_prompt)
+
+    if attention_mask is None:
+        attention_mask = input_ids != pad_token_id
+    attention_mask = attention_mask.astype(bool)
+    prompt_lens = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+
+    # static buffers
+    tokens = jnp.full((b, total_len), pad_token_id, dtype=jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32), (0, 0))
+    valid = jnp.zeros((b, total_len), dtype=bool)
+    valid = jax.lax.dynamic_update_slice(valid, attention_mask, (0, 0))
+
+    cache = model.init_cache(b, total_len)
+
+    # prefill over the whole prompt
+    logits, cache, _ = model.apply(
+        params, input_ids, padding_mask=valid, cache=cache, deterministic=True
+    )
+    # last *valid* prompt position's logits per row (right padding)
+    last_idx = jnp.maximum(prompt_lens - 1, 0)
+    next_logits = jnp.take_along_axis(
+        logits, last_idx[:, None, None], axis=1
+    ).squeeze(1)
+
+    unfinished = jnp.ones((b,), dtype=bool)
+
+    def cond(state):
+        step, _, _, _, unfinished, _, _ = state
+        return jnp.logical_and(step < num_new, jnp.any(unfinished))
+
+    def body(state):
+        step, tokens, valid, cache, unfinished, next_logits, rng = state
+        rng, sample_rng = jax.random.split(rng)
+        next_tokens = sample_logits(
+            sample_rng,
+            next_logits,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            do_sample=do_sample,
+            repetition_penalty=repetition_penalty,
+            generated_ids=tokens,
+            generated_valid=valid,
+        )
+        next_tokens = jnp.where(unfinished, next_tokens, pad_token_id)
+
+        pos = t_prompt + step
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, next_tokens[:, None], (0, pos)
+        )
+        valid = jax.lax.dynamic_update_slice(
+            valid, unfinished[:, None], (0, pos)
+        )
+        if eos_token_id is not None:
+            unfinished = unfinished & (next_tokens != eos_token_id)
+
+        logits, cache, _ = model.apply(
+            params,
+            next_tokens[:, None],
+            padding_mask=valid,
+            cache=cache,
+            deterministic=True,
+        )
+        return step + 1, tokens, valid, cache, unfinished, logits[:, 0], rng
+
+    state = (jnp.int32(0), tokens, valid, cache, unfinished, next_logits, rng)
+    _, tokens, valid, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.sum(valid, axis=1).astype(jnp.int32)
+    return tokens, lengths
+
+
+class TokenGenerator:
+    """Tokenizer-facing wrapper mirroring ``generate_tokens(prompt, args, tok)``
+    (/root/reference/src/transformers/nlp/inference/generate.py:244-296).
+
+    Prompt lengths are bucketed to powers of two to bound jit recompiles.
+    """
+
+    def __init__(self, model_args: ModelArgs, params: Any = None, seed: int = 0):
+        self.model_args = model_args
+        self.model = TextLM(model_args)
+        if params is None:
+            rng = jax.random.PRNGKey(seed)
+            dummy = jnp.zeros((1, 8), dtype=jnp.int32)
+            params = self.model.init(rng, dummy)["params"]
+            params = {"params": params}
+        elif "params" not in params:
+            params = {"params": params}
+        self.params = params
+        self._rng = jax.random.PRNGKey(seed + 1)
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
+    def generate_tokens(
+        self,
+        prompt: str,
+        generation_args: GenerationArgs,
+        tokenizer,
+        attention_mask: Optional[jnp.ndarray] = None,
+    ) -> str:
+        if not prompt or not prompt.strip():
+            return "Please enter a valid prompt."
+        if generation_args.max_new_tokens <= 0:
+            return prompt
+
+        ids = tokenizer.encode(prompt)
+        pad_id = generation_args.pad_token_id
+        if pad_id is None:
+            pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+        t = len(ids)
+        bucket = min(self._bucket(t), self.model_args.max_seq_len)
+        ids = ids[:bucket]
+        t = len(ids)
+        input_ids = jnp.full((1, bucket), pad_id, dtype=jnp.int32)
+        input_ids = input_ids.at[0, :t].set(jnp.asarray(ids, dtype=jnp.int32))
+        mask = jnp.zeros((1, bucket), dtype=bool).at[0, :t].set(True)
+
+        self._rng, rng = jax.random.split(self._rng)
+        total_len = min(
+            self.model_args.max_seq_len, bucket + generation_args.max_new_tokens
+        )
+        tokens, lengths = generate(
+            self.model,
+            self.params,
+            input_ids,
+            mask,
+            rng,
+            max_new_tokens=generation_args.max_new_tokens,
+            temperature=generation_args.temperature,
+            top_k=generation_args.top_k,
+            top_p=generation_args.top_p,
+            do_sample=generation_args.do_sample,
+            repetition_penalty=generation_args.repetition_penalty,
+            pad_token_id=int(pad_id),
+            eos_token_id=generation_args.eos_token_id,
+            total_len=total_len,
+        )
+        row = jax.device_get(tokens[0])
+        n_valid = int(lengths[0])
+        # row layout: [prompt (t), generated...]; valid counts skip pads
+        if generation_args.return_only_new_tokens:
+            out_ids = row[bucket : bucket + max(0, n_valid - t)]
+        else:
+            out_ids = [i for i in row[:bucket][:t]] + list(
+                row[bucket : bucket + max(0, n_valid - t)]
+            )
+        return tokenizer.decode(list(out_ids), skip_special_tokens=True)

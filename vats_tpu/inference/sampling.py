@@ -1,0 +1,121 @@
+"""Jit-compatible logit processors and sampling.
+
+Vectorized, static-shape re-designs of the reference's eager per-token
+filters (/root/reference/src/transformers/nlp/inference/generate.py:146-220):
+
+  * repetition penalty — the reference loops over each batch row's unique
+    tokens in python (:149-160); here a [B, V] presence mask is built with one
+    scatter and the penalty applied with one where()
+  * temperature (0 => greedy, :165-173)
+  * top-k (mask logits below the k-th value, :176-191)
+  * top-p nucleus with the keep-first-token shift (:194-212)
+  * categorical sampling / argmax (:215-220)
+
+All filters assign -inf via a large negative fp32 constant.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def apply_repetition_penalty(
+    logits: jnp.ndarray,
+    generated_ids: jnp.ndarray,
+    generated_valid: jnp.ndarray,
+    penalty: float,
+) -> jnp.ndarray:
+    """logits: [B, V]; generated_ids/valid: [B, S] (valid marks real tokens).
+
+    For every token id present in a row: positive logits are divided by the
+    penalty, negative ones multiplied (reference semantics, generate.py:153-160).
+    """
+    b, v = logits.shape
+    ones = jnp.ones_like(generated_ids, dtype=jnp.int32) * generated_valid.astype(
+        jnp.int32
+    )
+    presence = jnp.zeros((b, v), dtype=jnp.int32)
+    presence = presence.at[
+        jnp.arange(b)[:, None], generated_ids.astype(jnp.int32)
+    ].max(ones)
+    present = presence > 0
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(present, penalized, logits)
+
+
+def apply_top_k(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """Mask logits strictly below the top-k threshold to -inf. [B, V]."""
+    if top_k <= 0:
+        return logits
+    k = min(top_k, logits.shape[-1])
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Nucleus filtering with the reference's keep-first shift. [B, V]."""
+    if not (0.0 < top_p < 1.0):
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    remove_sorted = cum > top_p
+    # shift right so the first token crossing the threshold is kept
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]], axis=-1
+    )
+    # threshold in logit space: smallest kept sorted logit per row
+    kept_min = jnp.min(
+        jnp.where(remove_sorted, jnp.inf, sorted_logits), axis=-1, keepdims=True
+    )
+    return jnp.where(logits < kept_min, NEG_INF, logits)
+
+
+def sample_logits(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    *,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    do_sample: bool = True,
+    repetition_penalty: Optional[float] = None,
+    generated_ids: Optional[jnp.ndarray] = None,
+    generated_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full sampling pipeline on [B, V] logits -> [B] int32 next tokens."""
+    logits = logits.astype(jnp.float32)
+    if repetition_penalty is not None and repetition_penalty != 1.0:
+        if repetition_penalty <= 0:
+            raise ValueError(
+                f"expected repetition_penalty > 0, got {repetition_penalty}"
+            )
+        logits = apply_repetition_penalty(
+            logits, generated_ids, generated_valid, repetition_penalty
+        )
+    if temperature is not None:
+        if temperature < 0:
+            raise ValueError(f"expected temperature >= 0, got {temperature}")
+        if temperature == 0:
+            do_sample = False
+        else:
+            logits = logits / temperature
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError(f"expected top_k >= 1, got {top_k}")
+        if top_k == 1:
+            do_sample = False
+        else:
+            logits = apply_top_k(logits, top_k)
+    if top_p is not None:
+        if not (0.0 < top_p <= 1.0):
+            raise ValueError(f"expected 0 < top_p <= 1, got {top_p}")
+        logits = apply_top_p(logits, top_p)
+    if do_sample:
+        return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)

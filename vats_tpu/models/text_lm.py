@@ -1,0 +1,194 @@
+"""MoE decoder language model (flagship workload).
+
+TPU-native rebuild of ``AutoregressiveTextTransformer``
+(/root/reference/src/transformers/nlp/model.py:113-324):
+
+  token embed -> dropout -> N x (AttentionBlock -> MoEBlock) -> RMSNorm
+  -> lm_head (optionally weight-tied, :164-165)
+
+returning ``(logits, cache, total_aux_loss)`` like the reference's
+``(logits, cache_outs, total_aux_loss)``.
+
+Differences by design:
+  * the KV cache is a functional pytree threaded through the call (the
+    reference mutates a model-owned python object, :148-154)
+  * gradient checkpointing is ``flax.linen.remat`` over whole blocks
+    (reference: torch.utils.checkpoint, :281-294)
+  * everything is shape-static so the full train/decode step jits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vats_tpu.configs.nlp import ModelArgs
+from vats_tpu.nn.attention import AttentionBlock
+from vats_tpu.nn.initializers import embed_init, head_init
+from vats_tpu.nn.kv_cache import KVCache
+from vats_tpu.nn.moe import MoEBlock
+from vats_tpu.nn.norms import RMSNorm
+from vats_tpu.parallel import with_logical_constraint
+
+
+def resolve_dtype(name: str):
+    return {
+        "float32": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+        "float16": jnp.float16,
+    }[name]
+
+
+class TransformerBlock(nn.Module):
+    """Attention block followed by MoE block; threads cache and aux loss.
+
+    Reference: /root/reference/src/transformers/nlp/model.py:15-110.
+    """
+
+    cfg: ModelArgs
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        padding_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        layer_idx: int = 0,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[KVCache], jnp.ndarray]:
+        # positional signature (layer_idx/deterministic last) so nn.remat can
+        # mark them static via static_argnums
+        cfg = self.cfg
+        dtype = resolve_dtype(cfg.dtype)
+        param_dtype = resolve_dtype(cfg.param_dtype)
+        x, new_cache = AttentionBlock(
+            d_model=cfg.d_model,
+            num_heads=cfg.num_heads,
+            query_groups=cfg.query_groups,
+            rope_theta=cfg.rope_base,
+            softmax_scale=cfg.softmax_scale,
+            use_proj_bias=cfg.use_proj_bias,
+            use_qkv_proj=cfg.use_qkv_proj,
+            use_qk_norm=cfg.use_qk_norm,
+            dropout=cfg.dropout,
+            eps=cfg.rms_norm_eps,
+            num_layers=cfg.num_layers,
+            impl=cfg.attention_impl,
+            dtype=dtype,
+            param_dtype=param_dtype,
+            name="attn_block",
+        )(
+            x,
+            causal=cfg.use_causal,
+            left_window=cfg.left_window if cfg.apply_window_in_xla else -1,
+            right_window=cfg.right_window,
+            padding_mask=padding_mask,
+            cache=cache,
+            layer_idx=layer_idx,
+            deterministic=deterministic,
+        )
+        x, aux_loss = MoEBlock(
+            d_model=cfg.d_model,
+            d_ffn=cfg.d_ffn,
+            num_experts=cfg.num_experts,
+            top_k=cfg.top_k,
+            dropout=cfg.dropout,
+            eps=cfg.rms_norm_eps,
+            double_norm=cfg.moe_double_norm,
+            dispatch=cfg.moe_dispatch,
+            capacity_factor=cfg.capacity_factor,
+            num_layers=cfg.num_layers,
+            dtype=dtype,
+            param_dtype=param_dtype,
+            name="moe_block",
+        )(x, deterministic=deterministic)
+        return x, new_cache, aux_loss
+
+
+class TextLM(nn.Module):
+    cfg: ModelArgs
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        padding_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[KVCache], jnp.ndarray]:
+        """input_ids: [B, T] int32 -> (logits [B, T, V] fp32, cache', aux_loss).
+
+        padding_mask: [B, T] bool, True = valid (reference convention).
+        cache: when given, K/V are appended at cache.length and the cache is
+        advanced by T; pass ``None`` for training / uncached forwards.
+        """
+        cfg = self.cfg
+        dtype = resolve_dtype(cfg.dtype)
+        param_dtype = resolve_dtype(cfg.param_dtype)
+
+        embed = nn.Embed(
+            num_embeddings=cfg.vocab_size,
+            features=cfg.d_model,
+            embedding_init=nn.with_logical_partitioning(
+                embed_init(), ("vocab", "embed")
+            ),
+            dtype=dtype,
+            param_dtype=param_dtype,
+            name="token_embed",
+        )
+        x = embed(input_ids.astype(jnp.int32))
+        x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
+        x = with_logical_constraint(
+            x, ("activation_batch", "activation_seq", "activation_embed")
+        )
+
+        total_aux = jnp.zeros((), dtype=jnp.float32)
+        block_cls = TransformerBlock
+        if cfg.gradient_checkpointing and not deterministic:
+            block_cls = nn.remat(
+                TransformerBlock,
+                static_argnums=(4, 5),  # layer_idx, deterministic
+                prevent_cse=False,
+            )
+        new_cache = cache
+        for i in range(cfg.num_layers):
+            x, new_cache, aux = block_cls(cfg, name=f"layer_{i}")(
+                x, padding_mask, new_cache, i, deterministic
+            )
+            total_aux = total_aux + aux.astype(jnp.float32)
+
+        if new_cache is not None:
+            new_cache = new_cache.advance(input_ids.shape[1])
+
+        x = RMSNorm(cfg.d_model, cfg.rms_norm_eps, dtype, param_dtype)(x)
+
+        if cfg.tie_weights:
+            logits = embed.attend(x.astype(param_dtype))
+        else:
+            logits = nn.DenseGeneral(
+                features=cfg.vocab_size,
+                use_bias=False,
+                kernel_init=nn.with_logical_partitioning(
+                    head_init(), ("embed", "vocab")
+                ),
+                dtype=dtype,
+                param_dtype=param_dtype,
+                name="lm_head",
+            )(x)
+        logits = with_logical_constraint(
+            logits, ("activation_batch", "activation_seq", None)
+        )
+        return logits.astype(jnp.float32), new_cache, total_aux
+
+    def init_cache(self, batch_size: int, max_seq_len: Optional[int] = None) -> KVCache:
+        cfg = self.cfg
+        return KVCache.create(
+            num_layers=cfg.num_layers,
+            batch_size=batch_size,
+            max_seq_len=max_seq_len or cfg.max_seq_len,
+            kv_heads=cfg.query_groups,
+            head_dim=cfg.head_dim,
+            dtype=resolve_dtype(cfg.dtype),
+        )

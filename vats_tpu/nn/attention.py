@@ -1,0 +1,286 @@
+"""GQA/MQA attention module with SWA, QK-norm, RoPE, and a functional KV cache.
+
+Mirrors the reference ``Attention``/``AttentionBlock``
+(/root/reference/src/optimized_attention.py:290-817) semantics:
+
+  qkv projection (fused or split, bias optional,
+  /root/reference/utils/attention_utils.py:29-79)
+  -> optional L2 QK-norm (:81-102)
+  -> RoPE on q and k
+  -> grouped attention (GQA via group-folded einsum / Pallas kernel; the
+     reference materializes repeated KV heads instead)
+  -> causal forces right_window=0 (/root/reference/src/optimized_attention.py:518-521)
+  -> output projection.
+
+TPU-native differences:
+  * KV cache is a functional pytree written with one dynamic_update_slice per
+    layer per step (the reference double-appends, SURVEY.md §2.13.8).
+  * RoPE uses absolute positions during cached decode (the reference rotates
+    every decoded token at position 0, SURVEY.md §2.13).
+  * attention math runs through vats_tpu.ops (XLA oracle or Pallas flash
+    kernel) selected by ``impl``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vats_tpu.nn.initializers import input_proj_init, output_proj_init
+from vats_tpu.nn.kv_cache import KVCache
+from vats_tpu.nn.norms import RMSNorm, l2_normalize
+from vats_tpu.nn.rope import apply_rope_1d
+from vats_tpu.ops import dot_product_attention
+from vats_tpu.parallel import with_logical_constraint
+
+
+def select_attention_impl(impl: str, *, causal: bool, head_dim: int) -> str:
+    if impl != "auto":
+        return impl
+    # Pallas flash kernel requires TPU + lane-aligned head_dim; otherwise XLA.
+    try:
+        import jax
+
+        if jax.default_backend() not in ("tpu", "axon") or head_dim % 128 != 0:
+            return "xla"
+        return "flash"
+    except Exception:
+        return "xla"
+
+
+class Attention(nn.Module):
+    d_model: int
+    num_heads: int
+    query_groups: int
+    rope_theta: float = 10000.0
+    softmax_scale: Optional[float] = None
+    use_proj_bias: bool = False
+    use_qkv_proj: bool = True
+    use_qk_norm: bool = True
+    num_layers: int = 1  # depth-scaled init
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    def setup(self):
+        if self.d_model % self.num_heads != 0:
+            raise ValueError(
+                f"d_model ({self.d_model}) must be divisible by num_heads "
+                f"({self.num_heads})"
+            )
+        if self.num_heads % self.query_groups != 0:
+            raise ValueError(
+                f"num_heads ({self.num_heads}) must be divisible by "
+                f"query_groups ({self.query_groups})"
+            )
+        hd = self.head_dim
+        h, g = self.num_heads, self.query_groups
+        dense = lambda feats, name, init, axes: nn.DenseGeneral(  # noqa: E731
+            features=feats,
+            use_bias=self.use_proj_bias,
+            kernel_init=nn.with_logical_partitioning(init, axes),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        in_init = input_proj_init(self.num_layers)
+        if self.use_qkv_proj:
+            self.w_qkv = dense((h + 2 * g) * hd, "w_qkv", in_init, ("embed", "qkv"))
+        else:
+            self.w_q = dense(h * hd, "w_q", in_init, ("embed", "heads"))
+            self.w_k = dense(g * hd, "w_k", in_init, ("embed", "kv_heads"))
+            self.w_v = dense(g * hd, "w_v", in_init, ("embed", "kv_heads"))
+        self.w_o = dense(
+            self.d_model,
+            "w_o",
+            output_proj_init(self.num_layers),
+            ("heads", "embed"),
+        )
+
+    def project_qkv(
+        self, x: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        b, t, _ = x.shape
+        h, g, hd = self.num_heads, self.query_groups, self.head_dim
+        if self.use_qkv_proj:
+            qkv = self.w_qkv(x)
+            q, kv = jnp.split(qkv, [h * hd], axis=-1)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            q, k, v = self.w_q(x), self.w_k(x), self.w_v(x)
+        q = q.reshape(b, t, h, hd)
+        k = k.reshape(b, t, g, hd)
+        v = v.reshape(b, t, g, hd)
+        return q, k, v
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        causal: bool = True,
+        left_window: int = -1,
+        right_window: int = -1,
+        padding_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        layer_idx: int = 0,
+        segment_ids: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+        """x: [B, T, d_model] -> ([B, T, d_model], updated cache or None).
+
+        padding_mask: bool, True = valid token (reference convention,
+        /root/reference/src/optimized_attention.py:375).  Shape [B, T] for
+        uncached forwards.  When ``cache`` is given it may instead be
+        [B, max_seq_len]: a validity mask over the whole cache buffer
+        (maintained by the generation loop so prompt padding persists across
+        decode steps); a [B, T] mask is merged into the current window.
+        """
+        b, t, _ = x.shape
+        x = with_logical_constraint(
+            x, ("activation_batch", "activation_seq", "activation_embed")
+        )
+        q, k, v = self.project_qkv(x)
+
+        if self.use_qk_norm:
+            q = l2_normalize(q)
+            k = l2_normalize(k)
+
+        scale = (
+            self.softmax_scale
+            if self.softmax_scale is not None
+            else 1.0 / float(self.head_dim) ** 0.5
+        )
+
+        if causal:
+            right_window = 0  # reference rule (optimized_attention.py:518-521)
+
+        if cache is None:
+            positions = jnp.arange(t)
+            q = apply_rope_1d(q, positions, self.rope_theta)
+            k = apply_rope_1d(k, positions, self.rope_theta)
+            out = dot_product_attention(
+                q,
+                k,
+                v,
+                scale=scale,
+                causal=causal,
+                left_window=left_window,
+                right_window=right_window,
+                kv_valid=padding_mask,
+                q_segment_ids=segment_ids,
+                kv_segment_ids=segment_ids,
+            )
+            new_cache = None
+        else:
+            start = cache.length
+            positions = start + jnp.arange(t)
+            q = apply_rope_1d(q, positions, self.rope_theta)
+            k = apply_rope_1d(k, positions, self.rope_theta)
+            new_cache = cache.update_layer(layer_idx, k, v)
+            k_buf, v_buf = new_cache.layer(layer_idx)
+            kv_valid = new_cache.valid_mask(b, extra=t)
+            if padding_mask is not None:
+                if padding_mask.shape[-1] == new_cache.max_seq_len:
+                    # full-buffer validity mask maintained by the caller
+                    kv_valid = kv_valid & padding_mask.astype(bool)
+                else:
+                    # [B, T]: persist this window's padding into the mask
+                    kv_valid = self._merge_padding(
+                        kv_valid, padding_mask, start, b, new_cache.max_seq_len
+                    )
+            out = dot_product_attention(
+                q,
+                k_buf,
+                v_buf,
+                scale=scale,
+                causal=causal,
+                left_window=left_window,
+                right_window=right_window,
+                q_positions=positions,
+                kv_positions=jnp.arange(new_cache.max_seq_len),
+                kv_valid=kv_valid,
+            )
+
+        out = out.reshape(b, t, self.num_heads * self.head_dim)
+        out = with_logical_constraint(
+            out, ("activation_batch", "activation_seq", "activation_embed")
+        )
+        return self.w_o(out), new_cache
+
+    @staticmethod
+    def _merge_padding(kv_valid, padding_mask, start, b, max_s):
+        import jax
+
+        pad_full = jnp.ones((b, max_s), dtype=bool)
+        pad_full = jax.lax.dynamic_update_slice(
+            pad_full, padding_mask.astype(bool), (0, start)
+        )
+        return kv_valid & pad_full
+
+
+class AttentionBlock(nn.Module):
+    """Pre-RMSNorm -> Attention -> dropout -> residual.
+
+    Reference: /root/reference/src/optimized_attention.py:732-817.
+    """
+
+    d_model: int
+    num_heads: int
+    query_groups: int
+    rope_theta: float = 10000.0
+    softmax_scale: Optional[float] = None
+    use_proj_bias: bool = False
+    use_qkv_proj: bool = True
+    use_qk_norm: bool = True
+    dropout: float = 0.0
+    eps: float = 1e-7
+    num_layers: int = 1
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        causal: bool = True,
+        left_window: int = -1,
+        right_window: int = -1,
+        padding_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        layer_idx: int = 0,
+        segment_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+        h = RMSNorm(self.d_model, self.eps, self.dtype, self.param_dtype)(x)
+        attn_out, new_cache = Attention(
+            d_model=self.d_model,
+            num_heads=self.num_heads,
+            query_groups=self.query_groups,
+            rope_theta=self.rope_theta,
+            softmax_scale=self.softmax_scale,
+            use_proj_bias=self.use_proj_bias,
+            use_qkv_proj=self.use_qkv_proj,
+            use_qk_norm=self.use_qk_norm,
+            num_layers=self.num_layers,
+            impl=self.impl,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(
+            h,
+            causal=causal,
+            left_window=left_window,
+            right_window=right_window,
+            padding_mask=padding_mask,
+            cache=cache,
+            layer_idx=layer_idx,
+            segment_ids=segment_ids,
+        )
+        attn_out = nn.Dropout(rate=self.dropout)(attn_out, deterministic=deterministic)
+        return x + attn_out, new_cache

@@ -1,0 +1,190 @@
+"""Rotary positional embeddings (1D interleaved), fp32 island.
+
+Mirrors the reference's interleaved even/odd rotation
+(/root/reference/src/optimized_attention.py:97-143):
+
+    x1 = x[..., 0::2]; x2 = x[..., 1::2]
+    out[..., 0::2] = x1*cos - x2*sin
+    out[..., 1::2] = x1*sin + x2*cos
+
+with fp32 ``inv_freq`` (:38).  TPU design difference: no lazy sin/cos cache —
+under jit the tables are constant-folded per (shape, positions) trace, and for
+decode we pass explicit absolute positions instead of re-deriving from the
+current slice length.  (The reference's cached-decode path rotates every new
+token at position 0, a catalogued defect — SURVEY.md §2.13; we implement the
+correct absolute-position behavior, which matches the reference's *uncached*
+full-sequence forward.)
+
+2D/3D axial and NTK-scaled variants for the vision / generation stacks live
+here too so every model family shares one RoPE implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def rope_inv_freq(head_dim: int, theta: float, dtype=jnp.float32) -> jnp.ndarray:
+    """inv_freq[i] = 1 / theta^(2i/head_dim), i over even dims."""
+    if head_dim % 2 != 0:
+        raise ValueError(f"head_dim ({head_dim}) must be even for RoPE")
+    exponents = jnp.arange(0, head_dim, 2, dtype=dtype) / head_dim
+    return 1.0 / (theta**exponents)
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray, head_dim: int, theta: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for integer positions.
+
+    positions: [T] or [B, T] (int or float) -> cos/sin of shape
+    positions.shape + [head_dim//2], float32.
+    """
+    inv_freq = rope_inv_freq(head_dim, theta)
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope_interleaved(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotate interleaved (even, odd) feature pairs of the last axis.
+
+    x: [..., T, H, head_dim]; cos/sin: [T, head_dim//2] or [B, T, head_dim//2]
+    (broadcast over the heads axis).  Computed in fp32, returned in x.dtype.
+    """
+    x32 = x.astype(jnp.float32)
+    x1 = x32[..., 0::2]
+    x2 = x32[..., 1::2]
+    # Insert the heads axis for broadcasting: [..., T, 1, head_dim//2]
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    r1 = x1 * c - x2 * s
+    r2 = x1 * s + x2 * c
+    out = jnp.stack([r1, r2], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+def apply_rope_1d(
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    theta: float,
+) -> jnp.ndarray:
+    """1D RoPE on [B, T, H, head_dim] given absolute positions [T] or [B, T]."""
+    cos, sin = rope_cos_sin(positions, x.shape[-1], theta)
+    return apply_rope_interleaved(x, cos, sin)
+
+
+# ---------------------------------------------------------------------------
+# Axial 2D RoPE (ViT-2D): rotate x/y halves of head_dim.
+# Reference: /root/reference/src/transformers/vision/vit_2d/optimized_attention.py:20-197
+# (head_dim % 4 == 0; axial rotations over the flattened H*W grid).
+# ---------------------------------------------------------------------------
+
+
+def grid_positions_2d(grid_h: int, grid_w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row/col position ids for a flattened [grid_h*grid_w] token grid."""
+    rows = jnp.repeat(jnp.arange(grid_h), grid_w)
+    cols = jnp.tile(jnp.arange(grid_w), grid_h)
+    return rows, cols
+
+
+def apply_rope_2d_axial(
+    x: jnp.ndarray,
+    grid_h: int,
+    grid_w: int,
+    theta: float,
+    ntk_scale_factor: Optional[float] = None,
+) -> jnp.ndarray:
+    """Axial 2D RoPE on [B, N, H, head_dim] with N == grid_h*grid_w.
+
+    The first half of head_dim encodes the row coordinate, the second half the
+    column coordinate; each half is rotated with the 1D interleaved rule.
+    ``ntk_scale_factor`` multiplies the positions (NTK-aware scaling used by
+    the image-gen stack, /root/reference/.../rope_2d.py:106-115).
+    """
+    head_dim = x.shape[-1]
+    if head_dim % 4 != 0:
+        raise ValueError(f"head_dim ({head_dim}) must be divisible by 4 for 2D RoPE")
+    half = head_dim // 2
+    rows, cols = grid_positions_2d(grid_h, grid_w)
+    if ntk_scale_factor is not None:
+        rows = rows.astype(jnp.float32) * ntk_scale_factor
+        cols = cols.astype(jnp.float32) * ntk_scale_factor
+    cos_r, sin_r = rope_cos_sin(rows, half, theta)
+    cos_c, sin_c = rope_cos_sin(cols, half, theta)
+    x_r = apply_rope_interleaved(x[..., :half], cos_r, sin_r)
+    x_c = apply_rope_interleaved(x[..., half:], cos_c, sin_c)
+    return jnp.concatenate([x_r, x_c], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Axial 3D RoPE (ViT-3D / video-gen): rotate t/h/w sections of head_dim.
+# Reference: /root/reference/src/transformers/vision/vit_3d/rope_3d.py:9-237
+# (head_dim % 6 == 0; per-axis inverse-frequency tables, partial-dim
+# rotation with pass-through slices).  The video-gen stack's NTKRoPE3D is an
+# identity stub in the reference (SURVEY.md §2.13.3) — here it is real.
+# ---------------------------------------------------------------------------
+
+
+def apply_rope_3d_axial(
+    x: jnp.ndarray,
+    grid_t: int,
+    grid_h: int,
+    grid_w: int,
+    theta: float,
+    mode: str = "all",
+    ntk_scale_factor: Optional[float] = None,
+) -> jnp.ndarray:
+    """Axial 3D RoPE.
+
+    mode='all':      x is [B, T*H*W(N), heads, head_dim]; rotate t, h and w
+                     thirds of head_dim by their respective coordinates.
+    mode='spatial':  x is [B*T, H*W, heads, head_dim]; rotate the h/w thirds,
+                     pass the t third through unchanged.
+    mode='temporal': x is [B*H*W, T, heads, head_dim]; rotate the t third.
+    """
+    head_dim = x.shape[-1]
+    if head_dim % 6 != 0:
+        raise ValueError(f"head_dim ({head_dim}) must be divisible by 6 for 3D RoPE")
+    third = head_dim // 3
+
+    def scale(p):
+        if ntk_scale_factor is None:
+            return p
+        return p.astype(jnp.float32) * ntk_scale_factor
+
+    if mode == "spatial":
+        n = x.shape[1]
+        if n != grid_h * grid_w:
+            raise ValueError(f"spatial mode expects N == grid_h*grid_w, got {n}")
+        rows, cols = grid_positions_2d(grid_h, grid_w)
+        cos_h, sin_h = rope_cos_sin(scale(rows), third, theta)
+        cos_w, sin_w = rope_cos_sin(scale(cols), third, theta)
+        t_part = x[..., :third]
+        h_part = apply_rope_interleaved(x[..., third : 2 * third], cos_h, sin_h)
+        w_part = apply_rope_interleaved(x[..., 2 * third :], cos_w, sin_w)
+        return jnp.concatenate([t_part, h_part, w_part], axis=-1)
+    if mode == "temporal":
+        t = x.shape[1]
+        pos_t = jnp.arange(t)
+        cos_t, sin_t = rope_cos_sin(scale(pos_t), third, theta)
+        t_part = apply_rope_interleaved(x[..., :third], cos_t, sin_t)
+        return jnp.concatenate([t_part, x[..., third:]], axis=-1)
+    if mode == "all":
+        n = x.shape[1]
+        if n != grid_t * grid_h * grid_w:
+            raise ValueError("mode='all' expects N == grid_t*grid_h*grid_w")
+        ts = jnp.repeat(jnp.arange(grid_t), grid_h * grid_w)
+        rows = jnp.tile(jnp.repeat(jnp.arange(grid_h), grid_w), grid_t)
+        cols = jnp.tile(jnp.arange(grid_w), grid_t * grid_h)
+        cos_t, sin_t = rope_cos_sin(scale(ts), third, theta)
+        cos_h, sin_h = rope_cos_sin(scale(rows), third, theta)
+        cos_w, sin_w = rope_cos_sin(scale(cols), third, theta)
+        t_part = apply_rope_interleaved(x[..., :third], cos_t, sin_t)
+        h_part = apply_rope_interleaved(x[..., third : 2 * third], cos_h, sin_h)
+        w_part = apply_rope_interleaved(x[..., 2 * third :], cos_w, sin_w)
+        return jnp.concatenate([t_part, h_part, w_part], axis=-1)
+    raise ValueError(f"unknown 3D RoPE mode: {mode}")
