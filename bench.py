@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark: MoE decoder LM decode throughput (tokens/sec/chip).
+
+Headline metric from BASELINE.json.  The reference publishes no numbers
+(BASELINE.md), so ``vs_baseline`` is measured against the reference
+implementation's own generation loop (use_cache=True) run on this host's CPU
+with the identical model shape — calibrated once via tools/calibrate_baseline.py
+and recorded below.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Reference (torch CPU, /root/reference generate.py cached decode) measured on
+# this container with the same BENCH_CFG shapes via tools/calibrate_baseline.py.
+REFERENCE_CPU_DECODE_TOKS_PER_SEC = None  # filled by calibration; fallback below
+_CALIB_FILE = os.path.join(os.path.dirname(__file__), "tools", "baseline_calibration.json")
+
+BENCH_CFG = dict(
+    d_model=512,
+    num_heads=8,
+    query_groups=2,
+    d_ffn=2048,
+    num_layers=8,
+    vocab_size=32768,
+    max_seq_len=1024,
+    num_experts=8,
+    top_k=2,
+    dropout=0.0,
+    left_window=-1,
+    use_mqa=False,
+    gradient_checkpointing=False,
+    moe_dispatch="scatter",
+    capacity_factor=1.25,
+)
+BATCH = 8
+PROMPT_LEN = 128
+DECODE_STEPS = 256
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vats_tpu.configs import ModelArgs
+    from vats_tpu.inference.generate import generate
+    from vats_tpu.models import TextLM
+
+    cfg = ModelArgs(**BENCH_CFG)
+    model = TextLM(cfg)
+    rng = jax.random.PRNGKey(0)
+    prompt = jax.random.randint(rng, (BATCH, PROMPT_LEN), 1, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), prompt[:, :8])
+
+    def run(seed):
+        tokens, lengths = generate(
+            model,
+            params,
+            prompt,
+            None,
+            jax.random.PRNGKey(seed),
+            max_new_tokens=DECODE_STEPS,
+            do_sample=True,
+            temperature=0.8,
+            top_k=50,
+            pad_token_id=0,
+            eos_token_id=None,
+            total_len=PROMPT_LEN + DECODE_STEPS,
+        )
+        return tokens, lengths
+
+    # warmup / compile (device_get, not block_until_ready: the axon backend's
+    # block_until_ready can return before remote execution finishes)
+    tokens, lengths = run(0)
+    jax.device_get(tokens)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(1, n_iters + 1):
+        tokens, lengths = run(i)
+        jax.device_get(tokens)
+    dt = time.perf_counter() - t0
+
+    decoded_tokens = BATCH * DECODE_STEPS * n_iters
+    toks_per_sec = decoded_tokens / dt
+
+    baseline = REFERENCE_CPU_DECODE_TOKS_PER_SEC
+    if baseline is None and os.path.exists(_CALIB_FILE):
+        try:
+            with open(_CALIB_FILE) as f:
+                baseline = json.load(f).get("reference_cpu_decode_toks_per_sec")
+        except Exception:
+            baseline = None
+    vs_baseline = (toks_per_sec / baseline) if baseline else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "moe_decode_tokens_per_sec_per_chip",
+                "value": round(toks_per_sec, 2),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

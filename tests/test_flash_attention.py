@@ -1,0 +1,126 @@
+"""Pallas flash attention vs the XLA oracle (interpret mode on CPU).
+
+The kernel's numerics contract: match ops.attention_xla.dot_product_attention
+within fp32 tolerance for every mask configuration (causal, SWA, GQA/MQA,
+padding)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vats_tpu.ops import dot_product_attention
+from vats_tpu.ops.flash_attention import flash_attention
+
+flash = functools.partial(flash_attention, interpret=True, block_q=16, block_k=16)
+
+
+def make_qkv(key, b, t, s, hq, g, d):
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(key), 3)
+    q = jax.random.normal(kq, (b, t, hq, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, s, g, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, s, g, d), dtype=jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize(
+    "causal,left_window,hq,g",
+    [
+        (False, -1, 4, 4),
+        (True, -1, 4, 4),
+        (True, -1, 8, 2),   # GQA
+        (True, -1, 4, 1),   # MQA
+        (True, 7, 4, 2),    # causal + SWA
+        (False, 5, 4, 4),   # bidirectional window
+    ],
+)
+def test_flash_matches_oracle(causal, left_window, hq, g):
+    b, t, d = 2, 48, 32
+    q, k, v = make_qkv(0, b, t, t, hq, g, d)
+    scale = 1.0 / np.sqrt(d)
+    out_flash = flash(
+        q, k, v, scale=scale, causal=causal, left_window=left_window,
+        right_window=0 if causal else left_window,
+    )
+    out_ref = dot_product_attention(
+        q, k, v, scale=scale, causal=causal, left_window=left_window,
+        right_window=0 if causal else left_window,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_ref), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_flash_padding_mask():
+    b, t, d, hq, g = 2, 32, 32, 4, 2
+    q, k, v = make_qkv(1, b, t, t, hq, g, d)
+    lens = jnp.array([20, 9])
+    valid = jnp.arange(t)[None, :] < lens[:, None]
+    scale = 0.2
+    out_flash = flash(q, k, v, scale=scale, causal=True, kv_valid=valid)
+    out_ref = dot_product_attention(
+        q, k, v, scale=scale, causal=True, kv_valid=valid
+    )
+    # compare only valid query rows (padded queries are don't-care)
+    for bi in range(b):
+        n = int(lens[bi])
+        np.testing.assert_allclose(
+            np.asarray(out_flash[bi, :n]),
+            np.asarray(out_ref[bi, :n]),
+            rtol=2e-4,
+            atol=2e-5,
+        )
+
+
+def test_flash_non_divisible_lengths():
+    """T and S not multiples of the block size exercise the padding path."""
+    b, t, d, hq, g = 1, 37, 32, 2, 1
+    q, k, v = make_qkv(2, b, t, t, hq, g, d)
+    out_flash = flash(q, k, v, scale=0.3, causal=True)
+    out_ref = dot_product_attention(q, k, v, scale=0.3, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_ref), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_flash_gradients_match_oracle():
+    b, t, d, hq, g = 1, 32, 32, 4, 2
+    q, k, v = make_qkv(3, b, t, t, hq, g, d)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash(q, k, v, scale=scale, causal=True, left_window=9) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            dot_product_attention(
+                q, k, v, scale=scale, causal=True, left_window=9
+            )
+            ** 2
+        )
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_flash_bf16_inputs():
+    b, t, d, hq, g = 1, 32, 32, 4, 2
+    q, k, v = make_qkv(4, b, t, t, hq, g, d)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = flash(qb, kb, vb, scale=0.2, causal=True)
+    ref = dot_product_attention(qb, kb, vb, scale=0.2, causal=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(ref, dtype=np.float32),
+        rtol=2e-2,
+        atol=2e-2,
+    )

@@ -1,0 +1,7 @@
+from vats_tpu.checkpoint.manager import (
+    CheckpointManager,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+__all__ = ["CheckpointManager", "load_checkpoint", "save_checkpoint"]

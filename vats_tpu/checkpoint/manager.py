@@ -1,0 +1,118 @@
+"""Orbax checkpointing with the reference's save/restore schema.
+
+Reference (/root/reference/utils/transformers/nlp/checkpointing.py:24-130):
+a dict of {model state, optimizer state, scheduler state, tokens_seen/epoch,
+loss, model_args, training_args}, saved as ``best_model`` or
+``checkpoint_tokens_seen_N``; the loader restores args first, then states.
+
+TPU-native: orbax PyTreeCheckpointer saves the whole TrainState pytree
+(params + optax state + counters) atomically and async-capable; config
+dataclasses are stored as JSON-able dicts alongside.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from vats_tpu.train.state import TrainState
+
+
+def _args_to_dict(args) -> Optional[Dict]:
+    if args is None:
+        return None
+    if dataclasses.is_dataclass(args):
+        return dataclasses.asdict(args)
+    return dict(args)
+
+
+def save_checkpoint(
+    directory: str,
+    state: TrainState,
+    *,
+    model_args=None,
+    training_args=None,
+    loss: Optional[float] = None,
+    is_best: bool = False,
+    step_key: Optional[int] = None,
+) -> str:
+    """Save train state + args.  Returns the checkpoint path.
+
+    Naming mirrors the reference: ``best_model`` vs
+    ``checkpoint_tokens_seen_{N}`` (checkpointing.py:44-52).
+    """
+    if step_key is None:
+        step_key = int(state.tokens_seen)
+    name = "best_model" if is_best else f"checkpoint_tokens_seen_{step_key}"
+    path = os.path.abspath(os.path.join(directory, name))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    meta = {
+        "model_args": _args_to_dict(model_args),
+        "training_args": _args_to_dict(training_args),
+        "tokens_seen": int(state.tokens_seen),
+        "loss": loss,
+        "is_best": is_best,
+    }
+    with open(os.path.join(path, "vats_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return path
+
+
+def load_checkpoint(
+    path: str,
+    target: Optional[TrainState] = None,
+) -> Tuple[Any, Dict]:
+    """Restore (state, meta).  ``target`` provides the pytree structure;
+    without it the raw restored tree is returned (args-only inspection —
+    the reference's ``load_only_args`` mode)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), item=target)
+    meta_path = os.path.join(path, "vats_meta.json")
+    meta: Dict = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return restored, meta
+
+
+class CheckpointManager:
+    """Best/regular checkpoint policy driver (reference script behavior:
+    periodic regular saves + best-on-val-improvement,
+    /root/reference/scripts/transformers/nlp/train.py:229-259)."""
+
+    def __init__(self, directory: str, *, model_args=None, training_args=None):
+        self.directory = directory
+        self.model_args = model_args
+        self.training_args = training_args
+        self.best_loss = float("inf")
+        os.makedirs(directory, exist_ok=True)
+
+    def maybe_save(
+        self, state: TrainState, val_loss: float, *, force_regular: bool = False
+    ) -> Dict[str, Optional[str]]:
+        saved = {"best": None, "regular": None}
+        if val_loss < self.best_loss:
+            self.best_loss = val_loss
+            saved["best"] = save_checkpoint(
+                self.directory,
+                state,
+                model_args=self.model_args,
+                training_args=self.training_args,
+                loss=val_loss,
+                is_best=True,
+            )
+        if force_regular:
+            saved["regular"] = save_checkpoint(
+                self.directory,
+                state,
+                model_args=self.model_args,
+                training_args=self.training_args,
+                loss=val_loss,
+            )
+        return saved

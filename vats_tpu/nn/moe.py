@@ -78,12 +78,15 @@ class TopKRouter(nn.Module):
         weights = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
 
         aux_loss = jnp.zeros((), dtype=jnp.float32)
-        if self.use_aux_loss and not deterministic:
+        if self.use_aux_loss and not deterministic and self.num_experts > 1:
             # coefficient of variation of per-expert probability mass
-            # (/root/reference/src/transformers/nlp/moe.py:110-126)
+            # (/root/reference/src/transformers/nlp/moe.py:110-126).
+            # sqrt is epsilon-guarded: at exactly-balanced routing the
+            # variance is 0 and d(sqrt)/dx would be inf (NaN grads).
             mass = probs.sum(axis=0)
             frac = mass / mass.sum()
-            aux_loss = jnp.std(frac) / jnp.mean(frac)
+            var = jnp.mean(jnp.square(frac - jnp.mean(frac)))
+            aux_loss = jnp.sqrt(var + 1e-12) / jnp.mean(frac)
         return weights.astype(self.dtype), top_idx, aux_loss
 
 

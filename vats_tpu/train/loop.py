@@ -1,0 +1,202 @@
+"""Jitted train/eval steps and the token-budget training loop.
+
+Reference loops: /root/reference/training/transformers/nlp/loops/
+training_loop.py:24-207 and validation_loop.py:19-92.  Key translations:
+
+  * one ``train_step`` = forward + backward + (accumulated) optimizer update,
+    all inside a single jit with donated state — the reference splits
+    micro-step/flush across eager python
+  * grad accumulation via optax.MultiSteps (reference: manual loss scaling +
+    periodic flush, :154-165,185-194)
+  * the reference's per-step OOM try/except (:76-80) cannot happen under
+    static shapes; the analogous guard is optax.apply_if_finite, which skips
+    updates on non-finite grads and counts skips (reference counts
+    ``max_skipped_steps`` the same way)
+  * token accounting (labels != -100) kept on device in the train state.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vats_tpu.configs.nlp import TrainingArgs
+from vats_tpu.train.metrics import IGNORE_INDEX, compute_loss, compute_perplexity
+from vats_tpu.train.state import TrainState
+
+logger = logging.getLogger("vats_tpu.train")
+
+
+def make_train_step_fn(
+    model, training_args: TrainingArgs
+) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
+    """Build the raw (unjitted) training step — callers choose jit/shardings."""
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        def loss_fn(params):
+            logits, _, aux = model.apply(
+                {"params": params},
+                batch["input_ids"],
+                padding_mask=batch.get("padding_mask"),
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            total, lm, aux = compute_loss(
+                logits, batch["labels"], aux, training_args.aux_loss_weight
+            )
+            return total, (lm, aux)
+
+        (total, (lm, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads)
+        tokens = jnp.sum(batch["labels"] != IGNORE_INDEX).astype(jnp.int32)
+        new_state = new_state.replace(tokens_seen=new_state.tokens_seen + tokens)
+        metrics = {
+            "loss": total,
+            "lm_loss": lm,
+            "aux_loss": aux,
+            "tokens": tokens,
+            "grad_norm": optax_global_norm(grads),
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_train_step(model, training_args: TrainingArgs):
+    """Single-device jitted training step with donated state."""
+    return jax.jit(make_train_step_fn(model, training_args), donate_argnums=(0,))
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def make_eval_step(model, training_args: TrainingArgs):
+    def step(params, batch):
+        logits, _, aux = model.apply(
+            {"params": params},
+            batch["input_ids"],
+            padding_mask=batch.get("padding_mask"),
+            deterministic=True,
+        )
+        total, lm, aux = compute_loss(
+            logits, batch["labels"], aux, training_args.aux_loss_weight
+        )
+        tokens = jnp.sum(batch["labels"] != IGNORE_INDEX).astype(jnp.int32)
+        return {"loss": total, "lm_loss": lm, "aux_loss": aux, "tokens": tokens}
+
+    return jax.jit(step)
+
+
+# convenience single-model instances built lazily by train()/validate()
+eval_step = make_eval_step
+
+
+def train(
+    model,
+    state: TrainState,
+    data_iter: Iterable[Dict[str, jnp.ndarray]],
+    training_args: TrainingArgs,
+    *,
+    rng: jax.Array,
+    max_steps: Optional[int] = None,
+    train_step_fn=None,
+    log_every: Optional[int] = None,
+    callbacks: Optional[Dict[str, Callable]] = None,
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """Token-budget training loop.
+
+    Stops when ``training_args.max_train_tokens`` is reached (reference
+    while-loop, /root/reference/scripts/transformers/nlp/train.py:201) or the
+    iterator / max_steps is exhausted.  Returns (state, summary metrics).
+    """
+    train_step_fn = train_step_fn or make_train_step(model, training_args)
+    log_every = log_every or training_args.logging_steps
+    callbacks = callbacks or {}
+
+    total_loss = 0.0
+    total_lm = 0.0
+    total_aux = 0.0
+    steps = 0
+    t0 = time.time()
+    stop_early = False
+
+    for batch in data_iter:
+        if max_steps is not None and steps >= max_steps:
+            break
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step_fn(state, batch, step_rng)
+        steps += 1
+        total_loss += float(metrics["loss"])
+        total_lm += float(metrics["lm_loss"])
+        total_aux += float(metrics["aux_loss"])
+
+        if steps % log_every == 0:
+            tokens_seen = int(state.tokens_seen)
+            elapsed = time.time() - t0
+            logger.info(
+                "step=%d loss=%.4f ppl=%.2f aux=%.4f tokens=%d tok/s=%.0f",
+                steps,
+                total_loss / steps,
+                compute_perplexity(total_lm / steps),
+                total_aux / steps,
+                tokens_seen,
+                tokens_seen / max(elapsed, 1e-9),
+            )
+        if "on_step" in callbacks:
+            callbacks["on_step"](state, metrics, steps)
+        if int(state.tokens_seen) >= training_args.max_train_tokens:
+            stop_early = True
+            break
+
+    denom = max(steps, 1)
+    summary = {
+        "avg_loss": total_loss / denom,
+        "avg_lm_loss": total_lm / denom,
+        "avg_aux_loss": total_aux / denom,
+        "perplexity": compute_perplexity(total_lm / denom),
+        "steps": steps,
+        "tokens_seen": int(state.tokens_seen),
+        "stop_early": stop_early,
+        "wall_time_s": time.time() - t0,
+    }
+    return state, summary
+
+
+def validate(
+    model,
+    state: TrainState,
+    data_iter: Iterable[Dict[str, jnp.ndarray]],
+    training_args: TrainingArgs,
+    *,
+    eval_step_fn=None,
+    max_batches: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Evaluation loop (reference validation_loop.py:19-92)."""
+    eval_step_fn = eval_step_fn or make_eval_step(model, training_args)
+    max_batches = max_batches or training_args.max_eval_batches
+    total_loss = total_lm = total_aux = 0.0
+    n = 0
+    for batch in data_iter:
+        if n >= max_batches:
+            break
+        m = eval_step_fn(state.params, batch)
+        total_loss += float(m["loss"])
+        total_lm += float(m["lm_loss"])
+        total_aux += float(m["aux_loss"])
+        n += 1
+    denom = max(n, 1)
+    return {
+        "val_loss": total_loss / denom,
+        "val_lm_loss": total_lm / denom,
+        "val_aux_loss": total_aux / denom,
+        "val_perplexity": compute_perplexity(total_lm / denom),
+        "batches": n,
+    }
