@@ -31,7 +31,11 @@ from flax import linen as nn
 from vats_tpu.nn.initializers import input_proj_init, output_proj_init
 from vats_tpu.nn.kv_cache import KVCache
 from vats_tpu.nn.norms import RMSNorm, l2_normalize
-from vats_tpu.nn.rope import apply_rope_1d
+from vats_tpu.nn.rope import (
+    apply_rope_1d,
+    apply_rope_2d_axial,
+    apply_rope_3d_axial,
+)
 from vats_tpu.ops import dot_product_attention
 from vats_tpu.parallel import with_logical_constraint
 
@@ -61,12 +65,36 @@ class Attention(nn.Module):
     use_qk_norm: bool = True
     num_layers: int = 1  # depth-scaled init
     impl: str = "auto"
+    # positional encoding flavor shared across model families:
+    #   '1d' (text), '2d_axial' (ViT-2D / image-gen with rope_ntk_scale),
+    #   '3d_spatial' / '3d_temporal' / '3d_all' (ViT-3D, video-gen), 'none'
+    rope_type: str = "1d"
+    rope_ntk_scale: Optional[float] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @property
     def head_dim(self) -> int:
         return self.d_model // self.num_heads
+
+    def _apply_rope(self, x, positions, grid_shape):
+        if self.rope_type == "none":
+            return x
+        if self.rope_type == "1d":
+            return apply_rope_1d(x, positions, self.rope_theta)
+        if self.rope_type == "2d_axial":
+            gh, gw = grid_shape
+            return apply_rope_2d_axial(
+                x, gh, gw, self.rope_theta, self.rope_ntk_scale
+            )
+        if self.rope_type in ("3d_spatial", "3d_temporal", "3d_all"):
+            gt, gh, gw = grid_shape
+            mode = self.rope_type.split("_", 1)[1]
+            return apply_rope_3d_axial(
+                x, gt, gh, gw, self.rope_theta, mode=mode,
+                ntk_scale_factor=self.rope_ntk_scale,
+            )
+        raise ValueError(f"unknown rope_type: {self.rope_type}")
 
     def setup(self):
         if self.d_model % self.num_heads != 0:
@@ -130,6 +158,7 @@ class Attention(nn.Module):
         cache: Optional[KVCache] = None,
         layer_idx: int = 0,
         segment_ids: Optional[jnp.ndarray] = None,
+        grid_shape: Optional[Tuple[int, ...]] = None,
     ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         """x: [B, T, d_model] -> ([B, T, d_model], updated cache or None).
 
@@ -161,8 +190,8 @@ class Attention(nn.Module):
 
         if cache is None:
             positions = jnp.arange(t)
-            q = apply_rope_1d(q, positions, self.rope_theta)
-            k = apply_rope_1d(k, positions, self.rope_theta)
+            q = self._apply_rope(q, positions, grid_shape)
+            k = self._apply_rope(k, positions, grid_shape)
             out = dot_product_attention(
                 q,
                 k,
@@ -177,6 +206,11 @@ class Attention(nn.Module):
             )
             new_cache = None
         else:
+            if self.rope_type != "1d":
+                raise NotImplementedError(
+                    "KV-cached decode uses 1D RoPE (text); the generation "
+                    "stacks own their spatial caches"
+                )
             start = cache.length
             positions = start + jnp.arange(t)
             q = apply_rope_1d(q, positions, self.rope_theta)
@@ -241,6 +275,8 @@ class AttentionBlock(nn.Module):
     eps: float = 1e-7
     num_layers: int = 1
     impl: str = "auto"
+    rope_type: str = "1d"
+    rope_ntk_scale: Optional[float] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -256,6 +292,7 @@ class AttentionBlock(nn.Module):
         cache: Optional[KVCache] = None,
         layer_idx: int = 0,
         segment_ids: Optional[jnp.ndarray] = None,
+        grid_shape: Optional[Tuple[int, ...]] = None,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         h = RMSNorm(self.d_model, self.eps, self.dtype, self.param_dtype)(x)
@@ -270,6 +307,8 @@ class AttentionBlock(nn.Module):
             use_qk_norm=self.use_qk_norm,
             num_layers=self.num_layers,
             impl=self.impl,
+            rope_type=self.rope_type,
+            rope_ntk_scale=self.rope_ntk_scale,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(
@@ -281,6 +320,7 @@ class AttentionBlock(nn.Module):
             cache=cache,
             layer_idx=layer_idx,
             segment_ids=segment_ids,
+            grid_shape=grid_shape,
         )
         attn_out = nn.Dropout(rate=self.dropout)(attn_out, deterministic=deterministic)
         return x + attn_out, new_cache

@@ -100,24 +100,48 @@ def apply_rope_2d_axial(
 ) -> jnp.ndarray:
     """Axial 2D RoPE on [B, N, H, head_dim] with N == grid_h*grid_w.
 
-    The first half of head_dim encodes the row coordinate, the second half the
-    column coordinate; each half is rotated with the 1D interleaved rule.
+    Exactly mirrors the ViT-2D reference layout
+    (/root/reference/src/transformers/vision/vit_2d/optimized_attention.py:20-197):
+    head_dim splits into four contiguous quarters (x1, x2, y1, y2); the pair
+    (x1, x2) rotates by row angles, (y1, y2) by column angles, with
+    ``inv_freq = theta^-(i/freq_dim)`` over freq_dim = head_dim//4 pairs.
     ``ntk_scale_factor`` multiplies the positions (NTK-aware scaling used by
     the image-gen stack, /root/reference/.../rope_2d.py:106-115).
     """
     head_dim = x.shape[-1]
     if head_dim % 4 != 0:
         raise ValueError(f"head_dim ({head_dim}) must be divisible by 4 for 2D RoPE")
-    half = head_dim // 2
+    freq_dim = head_dim // 4
     rows, cols = grid_positions_2d(grid_h, grid_w)
+    rows = rows.astype(jnp.float32)
+    cols = cols.astype(jnp.float32)
     if ntk_scale_factor is not None:
-        rows = rows.astype(jnp.float32) * ntk_scale_factor
-        cols = cols.astype(jnp.float32) * ntk_scale_factor
-    cos_r, sin_r = rope_cos_sin(rows, half, theta)
-    cos_c, sin_c = rope_cos_sin(cols, half, theta)
-    x_r = apply_rope_interleaved(x[..., :half], cos_r, sin_r)
-    x_c = apply_rope_interleaved(x[..., half:], cos_c, sin_c)
-    return jnp.concatenate([x_r, x_c], axis=-1)
+        rows = rows * ntk_scale_factor
+        cols = cols * ntk_scale_factor
+    inv_freq = 1.0 / (theta ** (jnp.arange(freq_dim, dtype=jnp.float32) / freq_dim))
+    theta_r = rows[:, None] * inv_freq  # [N, freq_dim]
+    theta_c = cols[:, None] * inv_freq
+    cos_r, sin_r = jnp.cos(theta_r), jnp.sin(theta_r)
+    cos_c, sin_c = jnp.cos(theta_c), jnp.sin(theta_c)
+    # broadcast over batch and heads: [1, N, 1, freq_dim]
+    cos_r, sin_r = cos_r[None, :, None, :], sin_r[None, :, None, :]
+    cos_c, sin_c = cos_c[None, :, None, :], sin_c[None, :, None, :]
+
+    x32 = x.astype(jnp.float32)
+    x1 = x32[..., 0 * freq_dim : 1 * freq_dim]
+    x2 = x32[..., 1 * freq_dim : 2 * freq_dim]
+    y1 = x32[..., 2 * freq_dim : 3 * freq_dim]
+    y2 = x32[..., 3 * freq_dim : 4 * freq_dim]
+    out = jnp.concatenate(
+        [
+            x1 * cos_r - x2 * sin_r,
+            x1 * sin_r + x2 * cos_r,
+            y1 * cos_c - y2 * sin_c,
+            y1 * sin_c + y2 * cos_c,
+        ],
+        axis=-1,
+    )
+    return out.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
