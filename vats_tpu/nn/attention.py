@@ -34,6 +34,7 @@ from vats_tpu.nn.norms import RMSNorm, l2_normalize
 from vats_tpu.nn.rope import (
     apply_rope_1d,
     apply_rope_2d_axial,
+    apply_rope_2d_ntk_positions,
     apply_rope_3d_axial,
 )
 from vats_tpu.ops import dot_product_attention
@@ -86,6 +87,13 @@ class Attention(nn.Module):
             gh, gw = grid_shape
             return apply_rope_2d_axial(
                 x, gh, gw, self.rope_theta, self.rope_ntk_scale
+            )
+        if self.rope_type == "2d_ntk":
+            # raster-order positions over a grid of width grid_shape[-1];
+            # works for full forwards and cached decode alike
+            gw = grid_shape[-1]
+            return apply_rope_2d_ntk_positions(
+                x, positions, gw, self.rope_theta, self.rope_ntk_scale
             )
         if self.rope_type in ("3d_spatial", "3d_temporal", "3d_all"):
             gt, gh, gw = grid_shape
@@ -206,15 +214,15 @@ class Attention(nn.Module):
             )
             new_cache = None
         else:
-            if self.rope_type != "1d":
+            if self.rope_type not in ("1d", "2d_ntk", "none"):
                 raise NotImplementedError(
-                    "KV-cached decode uses 1D RoPE (text); the generation "
-                    "stacks own their spatial caches"
+                    f"KV-cached decode not supported for rope_type="
+                    f"{self.rope_type}"
                 )
             start = cache.length
             positions = start + jnp.arange(t)
-            q = apply_rope_1d(q, positions, self.rope_theta)
-            k = apply_rope_1d(k, positions, self.rope_theta)
+            q = self._apply_rope(q, positions, grid_shape)
+            k = self._apply_rope(k, positions, grid_shape)
             new_cache = cache.update_layer(layer_idx, k, v)
             k_buf, v_buf = new_cache.layer(layer_idx)
             kv_valid = new_cache.valid_mask(b, extra=t)

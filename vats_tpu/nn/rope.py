@@ -144,6 +144,68 @@ def apply_rope_2d_axial(
     return out.astype(x.dtype)
 
 
+def apply_rope_2d_ntk(
+    x: jnp.ndarray,
+    grid_h: int,
+    grid_w: int,
+    theta: float,
+    ntk_scale_factor: Optional[float] = None,
+) -> jnp.ndarray:
+    """NTK-scaled 2D RoPE (image-gen flavor) on [B, N, heads, head_dim].
+
+    Mirrors the reference ``NTKRoPE2D``
+    (/root/reference/src/autoregressive_image_gen/autoregressive_transformer/
+    attention/rope_2d.py:10-213): complex (interleaved-pair) rotation where
+    pair i < head_dim//4 rotates by row-position angles and the remaining
+    pairs by column-position angles; NTK scaling multiplies the grid
+    positions (:106-115).  fp32 island.
+    """
+    head_dim = x.shape[-1]
+    if head_dim % 4 != 0:
+        raise ValueError(f"head_dim ({head_dim}) must be divisible by 4")
+    half = head_dim // 2
+    inv_freq = rope_inv_freq(half, theta)  # [head_dim//4]
+    rows, cols = grid_positions_2d(grid_h, grid_w)
+    rows = rows.astype(jnp.float32)
+    cols = cols.astype(jnp.float32)
+    if ntk_scale_factor is not None:
+        rows = rows * ntk_scale_factor
+        cols = cols * ntk_scale_factor
+    angles = jnp.concatenate(
+        [rows[:, None] * inv_freq, cols[:, None] * inv_freq], axis=-1
+    )  # [N, head_dim//2]
+    return apply_rope_interleaved(x, jnp.cos(angles), jnp.sin(angles))
+
+
+def apply_rope_2d_ntk_positions(
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    grid_w: int,
+    theta: float,
+    ntk_scale_factor: Optional[float] = None,
+) -> jnp.ndarray:
+    """NTK 2D RoPE from flattened raster-order positions (row-major).
+
+    Equivalent to :func:`apply_rope_2d_ntk` when positions == arange(N), but
+    works for KV-cached decode where a single new token sits at an arbitrary
+    absolute position: row = pos // grid_w, col = pos % grid_w.
+    """
+    head_dim = x.shape[-1]
+    if head_dim % 4 != 0:
+        raise ValueError(f"head_dim ({head_dim}) must be divisible by 4")
+    half = head_dim // 2
+    inv_freq = rope_inv_freq(half, theta)
+    rows = (positions // grid_w).astype(jnp.float32)
+    cols = (positions % grid_w).astype(jnp.float32)
+    if ntk_scale_factor is not None:
+        rows = rows * ntk_scale_factor
+        cols = cols * ntk_scale_factor
+    angles = jnp.concatenate(
+        [rows[..., None] * inv_freq, cols[..., None] * inv_freq], axis=-1
+    )
+    return apply_rope_interleaved(x, jnp.cos(angles), jnp.sin(angles))
+
+
 # ---------------------------------------------------------------------------
 # Axial 3D RoPE (ViT-3D / video-gen): rotate t/h/w sections of head_dim.
 # Reference: /root/reference/src/transformers/vision/vit_3d/rope_3d.py:9-237
