@@ -223,6 +223,7 @@ def apply_rope_3d_axial(
     theta: float,
     mode: str = "all",
     ntk_scale_factor: Optional[float] = None,
+    t_positions: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Axial 3D RoPE.
 
@@ -255,7 +256,8 @@ def apply_rope_3d_axial(
         return jnp.concatenate([t_part, h_part, w_part], axis=-1)
     if mode == "temporal":
         t = x.shape[1]
-        pos_t = jnp.arange(t)
+        # explicit absolute frame positions enable KV-cached temporal decode
+        pos_t = t_positions if t_positions is not None else jnp.arange(t)
         cos_t, sin_t = rope_cos_sin(scale(pos_t), third, theta)
         t_part = apply_rope_interleaved(x[..., :third], cos_t, sin_t)
         return jnp.concatenate([t_part, x[..., third:]], axis=-1)
