@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""MoE text-LM training entry point.
+
+Counterpart of /root/reference/scripts/transformers/nlp/train.py:33-300:
+tokenizer setup, dataset materialization + 90/10 split, token-budget training
+loop with periodic validation / best+regular checkpoints / early stopping /
+sample generation ("Once upon a time, ", train.py:271-280).
+
+Differences: argparse CLI (the reference hardcodes function defaults), an
+offline synthetic-data mode (this container has no network for HF streaming),
+and a single jitted train step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train the MoE text LM")
+    p.add_argument("--size", default="xsmall",
+                   choices=["xsmall", "small", "medium", "large", "xlarge"])
+    p.add_argument("--dataset", default="synthetic",
+                   help="'synthetic' or a HF dataset name (needs network)")
+    p.add_argument("--tokenizer", default="mistralai/Mistral-7B-v0.1")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seq-len", type=int, default=None)
+    p.add_argument("--max-train-tokens", type=int, default=5_000_000)
+    p.add_argument("--eval-every-steps", type=int, default=200)
+    p.add_argument("--ckpt-dir", default="checkpoints/nlp")
+    p.add_argument("--early-stop-patience", type=int, default=5)
+    p.add_argument("--sample-prompt", default="Once upon a time, ")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args()
+
+
+def main():
+    from vats_tpu.utils.env import maybe_force_cpu
+
+    maybe_force_cpu()
+    args = parse_args()
+    from vats_tpu.checkpoint import CheckpointManager
+    from vats_tpu.configs import GenerationArgs, TrainingArgs
+    from vats_tpu.configs.nlp import NLP_TIERS
+    from vats_tpu.data import synthetic_lm_batches
+    from vats_tpu.models import TextLM
+    from vats_tpu.train import (
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+        train,
+        validate,
+    )
+    from vats_tpu.utils import setup_logger
+
+    logger = setup_logger("training")
+    model_args = NLP_TIERS[args.size]()
+    training_args = TrainingArgs(
+        batch_size=args.batch_size, max_train_tokens=args.max_train_tokens
+    )
+    seq_len = args.seq_len or min(model_args.max_seq_len, 512)
+
+    logger.info("model: %s | %s", args.size, model_args)
+    model = TextLM(model_args)
+
+    tokenizer = None
+    if args.dataset == "synthetic":
+        def make_iter(seed):
+            return synthetic_lm_batches(
+                jax.random.PRNGKey(seed),
+                vocab_size=model_args.vocab_size,
+                batch_size=args.batch_size,
+                seq_len=seq_len,
+                pad_fraction=0.1,
+            )
+        train_iter = make_iter(args.seed)
+        def val_iter():
+            return make_iter(args.seed + 1)
+    else:
+        from transformers import AutoTokenizer
+
+        from vats_tpu.data.text_cleaning import (
+            DeduplicationFilter,
+            TextQualityFilter,
+        )
+        from vats_tpu.data.text_dataset import TextDataset, train_val_split
+
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+        if tokenizer.pad_token_id is None:
+            tokenizer.pad_token = tokenizer.eos_token
+        quality = TextQualityFilter()
+        dedup = DeduplicationFilter()
+        dataset = TextDataset.from_hf_streaming(
+            args.dataset, tokenizer, seq_len,
+            filters=[quality.filter_text,
+                     lambda t: None if dedup.is_duplicate(t) else t],
+        )
+        train_ds, val_ds = train_val_split(dataset)
+        train_iter = train_ds.batches(args.batch_size, epochs=None,
+                                      seed=args.seed)
+        def val_iter():
+            return val_ds.batches(args.batch_size, epochs=1, shuffle=False)
+
+    est_steps = max(1, args.max_train_tokens // (args.batch_size * seq_len))
+    tx = create_optimizer(training_args, est_steps)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(args.seed),
+        jnp.zeros((args.batch_size, seq_len), jnp.int32),
+    )
+    step_fn = make_train_step(model, training_args)
+    ckpt = CheckpointManager(args.ckpt_dir, model_args=model_args,
+                             training_args=training_args)
+
+    rng = jax.random.PRNGKey(args.seed + 2)
+    bad_evals = 0
+    while int(state.tokens_seen) < args.max_train_tokens:
+        rng, loop_rng = jax.random.split(rng)
+        state, summary = train(
+            model, state, train_iter, training_args, rng=loop_rng,
+            max_steps=args.eval_every_steps, train_step_fn=step_fn,
+            log_every=max(1, args.eval_every_steps // 4),
+        )
+        metrics = validate(model, state, val_iter(), training_args,
+                           max_batches=20)
+        logger.info(
+            "tokens=%d train_loss=%.4f val_loss=%.4f val_ppl=%.2f",
+            summary["tokens_seen"], summary["avg_loss"],
+            metrics["val_loss"], metrics["val_perplexity"],
+        )
+        saved = ckpt.maybe_save(state, metrics["val_loss"], force_regular=True)
+        bad_evals = 0 if saved["best"] else bad_evals + 1
+        if bad_evals >= args.early_stop_patience:
+            logger.info("early stopping after %d stale evals", bad_evals)
+            break
+        if summary["steps"] == 0:
+            break
+
+        if tokenizer is not None:
+            from vats_tpu.inference import TokenGenerator
+
+            gen = TokenGenerator(model_args, params={"params": state.params})
+            sample = gen.generate_tokens(
+                args.sample_prompt, GenerationArgs(max_new_tokens=48),
+                tokenizer,
+            )
+            logger.info("sample: %s", sample)
+
+    logger.info("done: tokens_seen=%d", int(state.tokens_seen))
+
+
+if __name__ == "__main__":
+    main()
