@@ -130,10 +130,14 @@ def ring_attention(
 
     bspec = batch_axes if any(mesh.shape.get(a, 1) > 1 for a in batch_axes) else None
     qspec = P(bspec, axis_name, None, None)
-    return shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(qspec, qspec, qspec),
-        out_specs=qspec,
-        check_rep=False,
-    )(q, k, v)
+    try:  # jax >= 0.8 renamed check_rep -> check_vma
+        mapped = shard_map(
+            local_fn, mesh=mesh, in_specs=(qspec, qspec, qspec),
+            out_specs=qspec, check_vma=False,
+        )
+    except TypeError:
+        mapped = shard_map(
+            local_fn, mesh=mesh, in_specs=(qspec, qspec, qspec),
+            out_specs=qspec, check_rep=False,
+        )
+    return mapped(q, k, v)
