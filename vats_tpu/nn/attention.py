@@ -41,14 +41,16 @@ from vats_tpu.ops import dot_product_attention
 from vats_tpu.parallel import with_logical_constraint
 
 
-def select_attention_impl(impl: str, *, causal: bool, head_dim: int) -> str:
+def select_attention_impl(impl: str, *, head_dim: int) -> str:
+    """'auto' picks the Pallas flash kernel on TPU with lane-aligned head
+    dims, the XLA oracle otherwise.  'flash_interpret' runs the kernel in
+    interpreter mode (CPU tests)."""
     if impl != "auto":
         return impl
-    # Pallas flash kernel requires TPU + lane-aligned head_dim; otherwise XLA.
     try:
         import jax
 
-        if jax.default_backend() not in ("tpu", "axon") or head_dim % 128 != 0:
+        if jax.default_backend() != "tpu" or head_dim % 128 != 0:
             return "xla"
         return "flash"
     except Exception:
@@ -200,18 +202,34 @@ class Attention(nn.Module):
             positions = jnp.arange(t)
             q = self._apply_rope(q, positions, grid_shape)
             k = self._apply_rope(k, positions, grid_shape)
-            out = dot_product_attention(
-                q,
-                k,
-                v,
-                scale=scale,
-                causal=causal,
-                left_window=left_window,
-                right_window=right_window,
-                kv_valid=padding_mask,
-                q_segment_ids=segment_ids,
-                kv_segment_ids=segment_ids,
-            )
+            impl = select_attention_impl(self.impl, head_dim=self.head_dim)
+            if impl in ("flash", "flash_interpret") and segment_ids is None:
+                from vats_tpu.ops.flash_attention import flash_attention
+
+                out = flash_attention(
+                    q,
+                    k,
+                    v,
+                    scale=scale,
+                    causal=causal,
+                    left_window=left_window,
+                    right_window=right_window,
+                    kv_valid=padding_mask,
+                    interpret=(impl == "flash_interpret"),
+                )
+            else:
+                out = dot_product_attention(
+                    q,
+                    k,
+                    v,
+                    scale=scale,
+                    causal=causal,
+                    left_window=left_window,
+                    right_window=right_window,
+                    kv_valid=padding_mask,
+                    q_segment_ids=segment_ids,
+                    kv_segment_ids=segment_ids,
+                )
             new_cache = None
         else:
             if self.rope_type not in ("1d", "2d_ntk", "none"):

@@ -70,8 +70,6 @@ def _fwd_kernel(
     v_ref,
     valid_ref,
     o_ref,
-    l_ref,
-    m_ref,
     m_scratch,
     l_scratch,
     acc_scratch,
@@ -85,6 +83,7 @@ def _fwd_kernel(
     kv_len: int,
     mask_value: float,
 ):
+    b_idx = pl.program_id(0)
     q_blk = pl.program_id(2)
     kv_blk = pl.program_id(3)
     num_kv_blocks = pl.num_programs(3)
@@ -126,7 +125,9 @@ def _fwd_kernel(
             left_window=left_window,
             right_window=right_window,
         )
-        mask &= (valid_ref[0] != 0)[None, :]
+        # valid_ref block spans the full batch (Mosaic tiling: the
+        # second-to-last block dim must be 8-divisible or the whole axis)
+        mask &= (valid_ref[b_idx] != 0)[None, :]
         s = jnp.where(mask, s, mask_value)
 
         m_prev = m_scratch[...]  # [block_q, NUM_LANES]
@@ -155,8 +156,6 @@ def _fwd_kernel(
         l = l_scratch[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scratch[...] * l_inv[:, :1]).astype(o_ref.dtype)
-        l_ref[0, 0] = l[:, 0]
-        m_ref[0, 0] = m_scratch[...][:, 0]
 
 
 def _pad_to(x, size, axis, value=0):
@@ -184,11 +183,10 @@ def _flash_attention(
     block_k,
     interpret,
 ):
-    o, _, _ = _flash_forward(
+    return _flash_forward(
         q, k, v, kv_valid, scale, causal, left_window, right_window,
         block_q, block_k, interpret,
     )
-    return o
 
 
 def _flash_forward(
@@ -231,18 +229,12 @@ def _flash_forward(
             (1, 1, block_k, d),
             lambda b_, h, qi, ki, ratio=ratio: (b_, h // ratio, ki, 0),
         ),
-        pl.BlockSpec((1, block_k), lambda b_, h, qi, ki: (b_, ki)),
+        pl.BlockSpec((b, block_k), lambda b_, h, qi, ki: (0, ki)),
     ]
-    out_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
-        pl.BlockSpec((1, 1, block_q), lambda b_, h, qi, ki: (b_, h, qi)),
-        pl.BlockSpec((1, 1, block_q), lambda b_, h, qi, ki: (b_, h, qi)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((b, hq, t_pad, d), q.dtype),
-        jax.ShapeDtypeStruct((b, hq, t_pad), jnp.float32),
-        jax.ShapeDtypeStruct((b, hq, t_pad), jnp.float32),
-    ]
+    out_specs = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)
+    )
+    out_shape = jax.ShapeDtypeStruct((b, hq, t_pad, d), q.dtype)
     if not _HAS_PLTPU:
         raise RuntimeError("pallas TPU backend unavailable")
     scratch_shapes = [
@@ -256,7 +248,7 @@ def _flash_forward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         )
 
-    o, l, m = pl.pallas_call(
+    o = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -266,18 +258,18 @@ def _flash_forward(
         compiler_params=compiler_params,
         interpret=interpret,
     )(qp, kp, vp, validp)
-    return o[:, :, :t], l[:, :, :t], m[:, :, :t]
+    return o[:, :, :t]
 
 
 def _flash_fwd_rule(
     q, k, v, kv_valid, scale, causal, left_window, right_window,
     block_q, block_k, interpret,
 ):
-    o, l, m = _flash_forward(
+    o = _flash_forward(
         q, k, v, kv_valid, scale, causal, left_window, right_window,
         block_q, block_k, interpret,
     )
-    return o, (q, k, v, kv_valid, o, l, m)
+    return o, (q, k, v, kv_valid, o)
 
 
 def _flash_bwd_rule(
@@ -291,7 +283,7 @@ def _flash_bwd_rule(
     the forward never materialized the score matrix and the backward is
     jit-fused by XLA.
     """
-    q, k, v, kv_valid, o, l, m = residuals
+    q, k, v, kv_valid, o = residuals
     b, hq, t, d = q.shape
     g = k.shape[1]
     ratio = hq // g
@@ -314,11 +306,12 @@ def _flash_bwd_rule(
     mask = mask[None, None] & (kv_valid != 0)[:, None, None, :]
     s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-    # reconstruct softmax from saved stats: p = exp(s - m) / l
-    p = jnp.exp(s - m[..., None])
+    # recompute the softmax (stable); masked rows renormalize to zero
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
     p = jnp.where(mask, p, 0.0)
-    l_safe = jnp.where(l == 0.0, 1.0, l)[..., None]
-    p = p / l_safe
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.maximum(l, 1e-30)
 
     dv_full = jnp.einsum("bhts,bhtd->bhsd", p, dof)
     dp = jnp.einsum("bhtd,bhsd->bhts", dof, vr)
