@@ -55,6 +55,7 @@ class TransformerBlock(nn.Module):
         x: jnp.ndarray,
         padding_mask: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
         layer_idx: int = 0,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[KVCache], jnp.ndarray]:
@@ -87,6 +88,7 @@ class TransformerBlock(nn.Module):
             padding_mask=padding_mask,
             cache=cache,
             layer_idx=layer_idx,
+            segment_ids=segment_ids,
             deterministic=deterministic,
         )
         x, aux_loss = MoEBlock(
@@ -116,11 +118,14 @@ class TextLM(nn.Module):
         input_ids: jnp.ndarray,
         padding_mask: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[KVCache], jnp.ndarray]:
         """input_ids: [B, T] int32 -> (logits [B, T, V] fp32, cache', aux_loss).
 
         padding_mask: [B, T] bool, True = valid (reference convention).
+        segment_ids: optional [B, T] int for packed multi-document batches
+        (attention restricted within equal segments; see data/shard_dataset).
         cache: when given, K/V are appended at cache.length and the cache is
         advanced by T; pass ``None`` for training / uncached forwards.
         """
@@ -149,13 +154,13 @@ class TextLM(nn.Module):
         if cfg.gradient_checkpointing and not deterministic:
             block_cls = nn.remat(
                 TransformerBlock,
-                static_argnums=(4, 5),  # layer_idx, deterministic
+                static_argnums=(5, 6),  # layer_idx, deterministic
                 prevent_cse=False,
             )
         new_cache = cache
         for i in range(cfg.num_layers):
             x, new_cache, aux = block_cls(cfg, name=f"layer_{i}")(
-                x, padding_mask, new_cache, i, deterministic
+                x, padding_mask, new_cache, segment_ids, i, deterministic
             )
             total_aux = total_aux + aux.astype(jnp.float32)
 
