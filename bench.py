@@ -63,6 +63,14 @@ def main():
     rng = jax.random.PRNGKey(0)
     prompt = jax.random.randint(rng, (BATCH, PROMPT_LEN), 1, cfg.vocab_size)
     params = model.init(jax.random.PRNGKey(1), prompt[:, :8])
+    # decode is weight-bandwidth-bound: store inference params in bf16
+    # (halves the per-step HBM read of every weight matrix)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        params,
+    )
 
     def run(seed):
         tokens, lengths = generate(

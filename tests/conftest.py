@@ -20,11 +20,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compile cache makes repeat suite runs much faster
+# persistent compile cache makes repeat suite runs much faster.
+# NOTE: kept separate from the TPU cache (.jax_cache) — the axon remote
+# compiler bakes CPU AOT entries with different host features (SIGILL risk).
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
+                 ".jax_cache_cpu"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -153,7 +153,13 @@ class TokenGenerator:
     Prompt lengths are bucketed to powers of two to bound jit recompiles.
     """
 
-    def __init__(self, model_args: ModelArgs, params: Any = None, seed: int = 0):
+    def __init__(
+        self,
+        model_args: ModelArgs,
+        params: Any = None,
+        seed: int = 0,
+        cast_params_to_compute_dtype: bool = True,
+    ):
         self.model_args = model_args
         self.model = TextLM(model_args)
         if params is None:
@@ -163,6 +169,18 @@ class TokenGenerator:
             params = {"params": params}
         elif "params" not in params:
             params = {"params": params}
+        if cast_params_to_compute_dtype and model_args.dtype != "float32":
+            # decode is weight-bandwidth-bound; storing inference weights in
+            # the compute dtype halves every per-step HBM weight read
+            from vats_tpu.models.text_lm import resolve_dtype
+
+            cdt = resolve_dtype(model_args.dtype)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(cdt)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                params,
+            )
         self.params = params
         self._rng = jax.random.PRNGKey(seed + 1)
 

@@ -109,6 +109,30 @@ class TransformerBlock(nn.Module):
         return x, new_cache, aux_loss
 
 
+class _ScanBlock(nn.Module):
+    """lax.scan adapter over TransformerBlock for O(1)-in-depth compile time.
+
+    Used when ``cfg.scan_layers`` (uncached forwards only — the python loop
+    handles KV-cached decode, whose per-layer cache writes need layer
+    indices).  Params stack along a leading 'layers' axis."""
+
+    cfg: ModelArgs
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, aux_sum, padding_mask, segment_ids = carry
+        block_cls = TransformerBlock
+        if self.cfg.gradient_checkpointing and not self.deterministic:
+            block_cls = nn.remat(
+                TransformerBlock, static_argnums=(5, 6), prevent_cse=False
+            )
+        x, _, aux = block_cls(self.cfg, name="block")(
+            x, padding_mask, None, segment_ids, 0, self.deterministic
+        )
+        return (x, aux_sum + aux.astype(jnp.float32), padding_mask, segment_ids), None
+
+
 class TextLM(nn.Module):
     cfg: ModelArgs
 
@@ -150,19 +174,31 @@ class TextLM(nn.Module):
         )
 
         total_aux = jnp.zeros((), dtype=jnp.float32)
-        block_cls = TransformerBlock
-        if cfg.gradient_checkpointing and not deterministic:
-            block_cls = nn.remat(
-                TransformerBlock,
-                static_argnums=(5, 6),  # layer_idx, deterministic
-                prevent_cse=False,
-            )
         new_cache = cache
-        for i in range(cfg.num_layers):
-            x, new_cache, aux = block_cls(cfg, name=f"layer_{i}")(
-                x, padding_mask, new_cache, segment_ids, i, deterministic
+        if cfg.scan_layers and cache is None:
+            scanned = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.num_layers,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, deterministic, name="layers")
+            (x, total_aux, _, _), _ = scanned(
+                (x, total_aux, padding_mask, segment_ids), None
             )
-            total_aux = total_aux + aux.astype(jnp.float32)
+        else:
+            block_cls = TransformerBlock
+            if cfg.gradient_checkpointing and not deterministic:
+                block_cls = nn.remat(
+                    TransformerBlock,
+                    static_argnums=(5, 6),  # layer_idx, deterministic
+                    prevent_cse=False,
+                )
+            for i in range(cfg.num_layers):
+                x, new_cache, aux = block_cls(cfg, name=f"layer_{i}")(
+                    x, padding_mask, new_cache, segment_ids, i, deterministic
+                )
+                total_aux = total_aux + aux.astype(jnp.float32)
 
         if new_cache is not None:
             new_cache = new_cache.advance(input_ids.shape[1])
@@ -186,6 +222,33 @@ class TextLM(nn.Module):
             logits, ("activation_batch", "activation_seq", None)
         )
         return logits.astype(jnp.float32), new_cache, total_aux
+
+    @staticmethod
+    def unstack_scan_params(params: dict, num_layers: int) -> dict:
+        """Convert scan-mode params ('layers' stacked along axis 0) to
+        loop-mode params ('layer_{i}' subtrees) — e.g. to run KV-cached
+        generation on a model trained with scan_layers."""
+        import jax
+
+        p = dict(params)
+        stacked = p.pop("layers")["block"]
+        for i in range(num_layers):
+            p[f"layer_{i}"] = jax.tree_util.tree_map(lambda x: x[i], stacked)
+        return p
+
+    @staticmethod
+    def stack_layer_params(params: dict, num_layers: int) -> dict:
+        """Inverse of :meth:`unstack_scan_params`."""
+        import jax
+
+        p = dict(params)
+        layers = [p.pop(f"layer_{i}") for i in range(num_layers)]
+        p["layers"] = {
+            "block": jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *layers
+            )
+        }
+        return p
 
     def init_cache(self, batch_size: int, max_seq_len: Optional[int] = None) -> KVCache:
         cfg = self.cfg

@@ -158,6 +158,165 @@ def _fwd_kernel(
         o_ref[0, 0] = (acc_scratch[...] * l_inv[:, :1]).astype(o_ref.dtype)
 
 
+def _fwd_kernel_lse(*refs, **kw):
+    """Forward kernel variant that additionally stores the logsumexp.
+
+    lse_ref layout: [1, 1, 8, block_q] — replicated over an 8-sublane axis so
+    the block satisfies Mosaic's (8, 128) tiling rule (a bare [.., block_q]
+    row vector cannot be tiled)."""
+    (q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
+     m_scratch, l_scratch, acc_scratch) = refs
+    _fwd_kernel(
+        q_ref, k_ref, v_ref, valid_ref, o_ref,
+        m_scratch, l_scratch, acc_scratch, **kw,
+    )
+    kv_blk = pl.program_id(3)
+    num_kv_blocks = pl.num_programs(3)
+
+    @pl.when(kv_blk == num_kv_blocks - 1)
+    def _store_lse():
+        m = m_scratch[...][:, 0]  # [block_q]
+        l = l_scratch[...][:, 0]
+        lse = jnp.where(l == 0.0, 1e30, m + jnp.log(jnp.maximum(l, 1e-30)))
+        lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+
+
+def _bwd_dkv_kernel(
+    q_ref, do_ref, k_ref, v_ref, lse_ref, di_ref, valid_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *,
+    scale: float,
+    causal: bool,
+    left_window: int,
+    right_window: int,
+    block_q: int,
+    block_k: int,
+    mask_value: float,
+):
+    """Accumulate dK/dV for one KV block across all Q blocks (innermost)."""
+    b_idx = pl.program_id(0)
+    kv_blk = pl.program_id(2)
+    q_blk = pl.program_id(3)
+    num_q_blocks = pl.num_programs(3)
+
+    @pl.when(q_blk == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q_start = q_blk * block_q
+    k_start = kv_blk * block_k
+    run = True
+    if causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
+    if left_window >= 0:
+        run = jnp.logical_and(run, k_start + block_k - 1 >= q_start - left_window)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
+        do = do_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)  # [bk, d]
+        v = v_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][0]  # [bq]
+        di = di_ref[0, 0][0]  # [bq]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)[0, :]
+        mask = _block_mask(
+            q_ids, k_ids, causal=causal, left_window=left_window,
+            right_window=right_window,
+        )
+        mask &= (valid_ref[b_idx] != 0)[None, :]
+        p = jnp.exp(jnp.where(mask, s, mask_value) - lse[:, None])
+        p = jnp.where(mask, p, 0.0)  # [bq, bk]
+
+        dv_acc[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # p^T @ do -> [bk, d]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        ds = p * (dp - di[:, None]) * scale
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # ds^T @ q -> [bk, d]
+
+    @pl.when(q_blk == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, do_ref, k_ref, v_ref, lse_ref, di_ref, valid_ref,
+    dq_ref,
+    dq_acc,
+    *,
+    scale: float,
+    causal: bool,
+    left_window: int,
+    right_window: int,
+    block_q: int,
+    block_k: int,
+    mask_value: float,
+):
+    """Accumulate dQ for one Q block across all KV blocks (innermost)."""
+    b_idx = pl.program_id(0)
+    q_blk = pl.program_id(2)
+    kv_blk = pl.program_id(3)
+    num_kv_blocks = pl.num_programs(3)
+
+    @pl.when(kv_blk == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q_start = q_blk * block_q
+    k_start = kv_blk * block_k
+    run = True
+    if causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
+    if left_window >= 0:
+        run = jnp.logical_and(run, k_start + block_k - 1 >= q_start - left_window)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][0]
+        di = di_ref[0, 0][0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)[0, :]
+        mask = _block_mask(
+            q_ids, k_ids, causal=causal, left_window=left_window,
+            right_window=right_window,
+        )
+        mask &= (valid_ref[b_idx] != 0)[None, :]
+        p = jnp.exp(jnp.where(mask, s, mask_value) - lse[:, None])
+        p = jnp.where(mask, p, 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di[:, None]) * scale
+        dq_acc[...] += jax.lax.dot(
+            ds, k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_blk == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
 def _pad_to(x, size, axis, value=0):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -191,7 +350,7 @@ def _flash_attention(
 
 def _flash_forward(
     q, k, v, kv_valid, scale, causal, left_window, right_window,
-    block_q, block_k, interpret,
+    block_q, block_k, interpret, return_lse=False,
 ):
     """q: [B, Hq, T, D]; k/v: [B, G, S, D]; kv_valid: [B, S] int32."""
     b, hq, t, d = q.shape
@@ -207,8 +366,7 @@ def _flash_forward(
 
     grid = (b, hq, t_pad // block_q, s_pad // block_k)
 
-    kernel = functools.partial(
-        _fwd_kernel,
+    kw = dict(
         scale=scale,
         causal=causal,
         left_window=left_window,
@@ -217,6 +375,9 @@ def _flash_forward(
         block_k=block_k,
         kv_len=s,
         mask_value=DEFAULT_MASK_VALUE,
+    )
+    kernel = functools.partial(
+        _fwd_kernel_lse if return_lse else _fwd_kernel, **kw
     )
 
     in_specs = [
@@ -231,10 +392,20 @@ def _flash_forward(
         ),
         pl.BlockSpec((b, block_k), lambda b_, h, qi, ki: (0, ki)),
     ]
-    out_specs = pl.BlockSpec(
-        (1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)
-    )
-    out_shape = jax.ShapeDtypeStruct((b, hq, t_pad, d), q.dtype)
+    o_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0))
+    o_shape = jax.ShapeDtypeStruct((b, hq, t_pad, d), q.dtype)
+    if return_lse:
+        out_specs = [
+            o_spec,
+            pl.BlockSpec((1, 1, 8, block_q), lambda b_, h, qi, ki: (b_, h, 0, qi)),
+        ]
+        out_shape = [
+            o_shape,
+            jax.ShapeDtypeStruct((b, hq, 8, t_pad), jnp.float32),
+        ]
+    else:
+        out_specs = o_spec
+        out_shape = o_shape
     if not _HAS_PLTPU:
         raise RuntimeError("pallas TPU backend unavailable")
     scratch_shapes = [
@@ -248,7 +419,7 @@ def _flash_forward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         )
 
-    o = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -258,70 +429,113 @@ def _flash_forward(
         compiler_params=compiler_params,
         interpret=interpret,
     )(qp, kp, vp, validp)
-    return o[:, :, :t]
+    if return_lse:
+        o, lse = out
+        return o[:, :, :t], lse
+    return out[:, :, :t]
 
 
 def _flash_fwd_rule(
     q, k, v, kv_valid, scale, causal, left_window, right_window,
     block_q, block_k, interpret,
 ):
-    o = _flash_forward(
+    o, lse = _flash_forward(
         q, k, v, kv_valid, scale, causal, left_window, right_window,
-        block_q, block_k, interpret,
+        block_q, block_k, interpret, return_lse=True,
     )
-    return o, (q, k, v, kv_valid, o)
+    return o, (q, k, v, kv_valid, o, lse)
 
 
 def _flash_bwd_rule(
     scale, causal, left_window, right_window, block_q, block_k, interpret,
     residuals, do,
 ):
-    """Backward via recomputation in fp32 XLA (chunk-free, correct).
-
-    A fused Pallas dQ/dKV kernel is the planned optimization; numerics and
-    memory behavior here match standard flash backward recomputation because
-    the forward never materialized the score matrix and the backward is
-    jit-fused by XLA.
-    """
-    q, k, v, kv_valid, o = residuals
+    """Fused Pallas backward: separate dK/dV and dQ kernels sharing the
+    forward's masking and block-skip structure.  The [T, S] probability
+    matrix is never materialized; softmax is reconstructed per tile from the
+    saved logsumexp, and di = sum(do*o) is shared by both kernels (guide's
+    flash-backward recipe)."""
+    q, k, v, kv_valid, o, lse = residuals
     b, hq, t, d = q.shape
-    g = k.shape[1]
+    g, s = k.shape[1], k.shape[2]
     ratio = hq // g
 
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    dof = do.astype(jnp.float32)
+    t_pad = max(block_q, ((t + block_q - 1) // block_q) * block_q)
+    s_pad = max(block_k, ((s + block_k - 1) // block_k) * block_k)
+    qp = _pad_to(q, t_pad, 2)
+    dop = _pad_to(do, t_pad, 2)
+    kp = _pad_to(k, s_pad, 2)
+    vp = _pad_to(v, s_pad, 2)
+    validp = _pad_to(kv_valid.astype(jnp.int32), s_pad, 1)
 
-    kr = jnp.repeat(kf, ratio, axis=1)  # [B, Hq, S, D]
-    vr = jnp.repeat(vf, ratio, axis=1)
+    di = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # [B, Hq, T]
+    di = _pad_to(di, t_pad, 2)
+    di8 = jnp.broadcast_to(di[:, :, None, :], (b, hq, 8, t_pad))
+    # lse comes back from the forward already [B, Hq, 8, T_pad]
 
-    s = jnp.einsum("bhtd,bhsd->bhts", qf, kr) * scale
-    q_ids = jnp.arange(t)
-    k_ids = jnp.arange(k.shape[2])
-    mask = _block_mask(
-        q_ids, k_ids, causal=causal, left_window=left_window,
-        right_window=right_window,
+    kw = dict(
+        scale=scale, causal=causal, left_window=left_window,
+        right_window=right_window, block_q=block_q, block_k=block_k,
+        mask_value=DEFAULT_MASK_VALUE,
     )
-    mask = mask[None, None] & (kv_valid != 0)[:, None, None, :]
-    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h, ki, qi: (b_, h, qi, 0))
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_k, d),
+        lambda b_, h, ki, qi, ratio=ratio: (b_, h // ratio, ki, 0),
+    )
+    row_spec = pl.BlockSpec((1, 1, 8, block_q), lambda b_, h, ki, qi: (b_, h, 0, qi))
+    valid_spec = pl.BlockSpec((b, block_k), lambda b_, h, ki, qi: (0, ki))
+    dkv_out_spec = pl.BlockSpec(
+        (1, 1, block_k, d), lambda b_, h, ki, qi: (b_, h, ki, 0)
+    )
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        )
 
-    # recompute the softmax (stable); masked rows renormalize to zero
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = jnp.where(mask, p, 0.0)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.maximum(l, 1e-30)
+    dk_full, dv_full = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **kw),
+        grid=(b, hq, s_pad // block_k, t_pad // block_q),
+        in_specs=[q_spec, q_spec, kv_spec, kv_spec, row_spec, row_spec,
+                  valid_spec],
+        out_specs=[dkv_out_spec, dkv_out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, s_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, s_pad, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(qp, dop, kp, vp, lse, di8, validp)
 
-    dv_full = jnp.einsum("bhts,bhtd->bhsd", p, dof)
-    dp = jnp.einsum("bhtd,bhsd->bhts", dof, vr)
-    di = jnp.sum(dof * o.astype(jnp.float32), axis=-1, keepdims=True)
-    ds = p * (dp - di) * scale
-    dq = jnp.einsum("bhts,bhsd->bhtd", ds, kr)
-    dk_full = jnp.einsum("bhts,bhtd->bhsd", ds, qf)
+    q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0))
+    kv_spec2 = pl.BlockSpec(
+        (1, 1, block_k, d),
+        lambda b_, h, qi, ki, ratio=ratio: (b_, h // ratio, ki, 0),
+    )
+    row_spec2 = pl.BlockSpec((1, 1, 8, block_q), lambda b_, h, qi, ki: (b_, h, 0, qi))
+    valid_spec2 = pl.BlockSpec((b, block_k), lambda b_, h, qi, ki: (0, ki))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **kw),
+        grid=(b, hq, t_pad // block_q, s_pad // block_k),
+        in_specs=[q_spec2, q_spec2, kv_spec2, kv_spec2, row_spec2, row_spec2,
+                  valid_spec2],
+        out_specs=q_spec2,
+        out_shape=jax.ShapeDtypeStruct((b, hq, t_pad, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(qp, dop, kp, vp, lse, di8, validp)
 
-    dk = dk_full.reshape(b, g, ratio, k.shape[2], d).sum(axis=2)
-    dv = dv_full.reshape(b, g, ratio, k.shape[2], d).sum(axis=2)
+    dq = dq[:, :, :t]
+    dk = dk_full[:, :, :s].reshape(b, g, ratio, s, d).sum(axis=2)
+    dv = dv_full[:, :, :s].reshape(b, g, ratio, s, d).sum(axis=2)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
