@@ -55,3 +55,31 @@ def test_ring_with_batch_sharding():
     np.testing.assert_allclose(
         np.asarray(out_ring), np.asarray(out_ref), rtol=2e-4, atol=2e-5
     )
+
+
+def test_ulysses_matches_oracle():
+    from vats_tpu.ops.ulysses import ulysses_attention
+
+    mesh = create_mesh(data=1, fsdp=1, expert=1, tensor=1, seq=4,
+                       devices=jax.devices()[:4])
+    b, t, hq, g, d = 2, 32, 8, 4, 16
+    q, k, v = make_qkv(5, b, t, hq, g, d)
+    out_u = ulysses_attention(
+        q, k, v, mesh=mesh, scale=0.25, causal=True, left_window=10,
+    )
+    out_ref = dot_product_attention(
+        q, k, v, scale=0.25, causal=True, left_window=10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_u), np.asarray(out_ref), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_ulysses_rejects_indivisible_heads():
+    from vats_tpu.ops.ulysses import ulysses_attention
+
+    mesh = create_mesh(data=1, fsdp=1, expert=1, tensor=1, seq=4,
+                       devices=jax.devices()[:4])
+    q, k, v = make_qkv(6, 1, 16, 2, 1, 8)
+    with pytest.raises(ValueError):
+        ulysses_attention(q, k, v, mesh=mesh, scale=0.3)

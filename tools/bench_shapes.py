@@ -11,6 +11,6 @@ BENCH_CFG = dict(
     num_experts=8,
     top_k=2,
 )
-BATCH = 8
+BATCH = 64
 PROMPT_LEN = 128
 DECODE_STEPS = 256

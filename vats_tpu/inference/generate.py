@@ -158,7 +158,7 @@ class TokenGenerator:
         model_args: ModelArgs,
         params: Any = None,
         seed: int = 0,
-        cast_params_to_compute_dtype: bool = True,
+        cast_params_to_compute_dtype: bool = False,
     ):
         self.model_args = model_args
         self.model = TextLM(model_args)
