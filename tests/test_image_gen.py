@@ -209,3 +209,16 @@ def test_end_to_end_pipeline():
     arr = np.asarray(images)
     assert (arr >= 0).all() and (arr <= 1).all()
     assert np.asarray(tokens).shape == (1, 4, 4)
+
+
+def test_image_gen_trainer_evaluate():
+    images = jax.random.uniform(jax.random.PRNGKey(30), (2, 3, 32, 32))
+    text = jax.random.normal(jax.random.PRNGKey(31), (2, 6, CFG.d_model))
+    batch = {"images": images, "text_embeddings": text}
+    trainer = ImageGenTrainer(
+        CFG, ImageGenTrainingArgs(grad_accum_steps=1), num_training_steps=10,
+        sample_batch=batch,
+    )
+    metrics = trainer.evaluate(iter([batch, batch]), max_batches=2)
+    assert metrics["batches"] == 2
+    assert np.isfinite(metrics["loss"])

@@ -65,3 +65,50 @@ def test_sharded_loss_matches_single_device():
     np.testing.assert_allclose(
         float(m_sharded["loss"]), float(m_single["loss"]), rtol=1e-4
     )
+
+
+def test_sharded_checkpoint_resume(tmp_path):
+    """Save a sharded TrainState, restore it, continue training on the mesh."""
+    import numpy as np
+
+    from vats_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from vats_tpu.configs import ModelArgs, TrainingArgs
+    from vats_tpu.data import synthetic_lm_batches
+    from vats_tpu.models import TextLM
+    from vats_tpu.parallel import create_mesh
+    from vats_tpu.parallel.sharded import make_sharded_train
+
+    cfg = ModelArgs(
+        d_model=64, num_heads=4, query_groups=2, d_ffn=128, num_layers=2,
+        dropout=0.0, vocab_size=128, max_seq_len=64, left_window=-1,
+        num_experts=4, top_k=2, moe_dispatch="scatter", dtype="float32",
+        gradient_checkpointing=False, use_mqa=False,
+    )
+    model = TextLM(cfg)
+    targs = TrainingArgs(grad_accum_steps=1)
+    batch = next(
+        synthetic_lm_batches(
+            jax.random.PRNGKey(0), vocab_size=cfg.vocab_size,
+            batch_size=8, seq_len=32, num_batches=1,
+        )
+    )
+    mesh = create_mesh(data=2, fsdp=2, expert=2, tensor=1, seq=1)
+    init_fn, step_fn, _ = make_sharded_train(model, targs, mesh, batch,
+                                             num_training_steps=10)
+    state = init_fn(jax.random.PRNGKey(1))
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(2))
+    snapshot = jax.device_get(state.params)
+
+    path = save_checkpoint(str(tmp_path), state, model_args=cfg,
+                           training_args=targs, loss=2.0, is_best=True)
+    restored, meta = load_checkpoint(path, target=jax.device_get(state))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(snapshot),
+        jax.tree_util.tree_leaves(jax.device_get(restored.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state steps again under the same mesh/shardings (the jitted
+    # step's in_shardings re-lay the host arrays onto the mesh)
+    restored = restored.replace(apply_fn=model.apply)
+    _, metrics = step_fn(restored, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))

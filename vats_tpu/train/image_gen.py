@@ -147,6 +147,42 @@ class ImageGenTrainer:
         )
         return {k: float(v) for k, v in metrics.items()}
 
+    def evaluate(
+        self, data_iter: Iterable[Dict[str, jnp.ndarray]], max_batches: int = 10**9
+    ) -> Dict[str, float]:
+        """Validation pass (the reference's image-gen validation loop is an
+        empty file, SURVEY.md §2.6): deterministic forward, VQ + recon loss."""
+        if not hasattr(self, "_eval_step"):
+            model, args = self.model, self.args
+
+            def eval_step(params, batch_stats, batch):
+                recon, vq_loss, indices, _ = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch["images"],
+                    batch["text_embeddings"],
+                    batch.get("image_attention_mask"),
+                    batch.get("text_attention_mask"),
+                    deterministic=True,
+                )
+                recon_loss = jnp.mean(
+                    (recon.astype(jnp.float32)
+                     - batch["images"].astype(jnp.float32)) ** 2
+                )
+                return {"vq_loss": vq_loss, "recon_loss": recon_loss,
+                        "loss": vq_loss + recon_loss}
+
+            self._eval_step = jax.jit(eval_step)
+        total: Dict[str, float] = {}
+        n = 0
+        for batch in data_iter:
+            if n >= max_batches:
+                break
+            m = self._eval_step(self.params, self.batch_stats, batch)
+            for k, v in m.items():
+                total[k] = total.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in total.items()} | {"batches": n}
+
     def train(
         self, data_iter: Iterable[Dict[str, jnp.ndarray]], max_steps: int = 10**9
     ) -> Dict[str, float]:
