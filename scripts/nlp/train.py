@@ -35,6 +35,9 @@ def parse_args():
     p.add_argument("--max-train-tokens", type=int, default=5_000_000)
     p.add_argument("--eval-every-steps", type=int, default=200)
     p.add_argument("--ckpt-dir", default="checkpoints/nlp")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path to resume from (model args are "
+                        "restored from its metadata)")
     p.add_argument("--early-stop-patience", type=int, default=5)
     p.add_argument("--sample-prompt", default="Once upon a time, ")
     p.add_argument("--seed", type=int, default=42)
@@ -58,10 +61,20 @@ def main():
         train,
         validate,
     )
-    from vats_tpu.utils import setup_logger
+    from vats_tpu.utils import plot_metrics, setup_logger
 
     logger = setup_logger("training")
     model_args = NLP_TIERS[args.size]()
+    if args.resume:
+        # restore args first (the reference's load_only_args mode,
+        # scripts/transformers/nlp/train.py:62-74), then states below
+        from vats_tpu.checkpoint import load_checkpoint
+        from vats_tpu.configs import ModelArgs as _MA
+
+        _, resume_meta = load_checkpoint(args.resume)
+        if resume_meta.get("model_args"):
+            model_args = _MA.from_dict(resume_meta["model_args"])
+            logger.info("resumed model args from %s", args.resume)
     training_args = TrainingArgs(
         batch_size=args.batch_size, max_train_tokens=args.max_train_tokens
     )
@@ -114,12 +127,19 @@ def main():
         model, tx, jax.random.PRNGKey(args.seed),
         jnp.zeros((args.batch_size, seq_len), jnp.int32),
     )
+    if args.resume:
+        from vats_tpu.checkpoint import load_checkpoint
+
+        restored, _ = load_checkpoint(args.resume, target=jax.device_get(state))
+        state = restored.replace(apply_fn=model.apply)
+        logger.info("resumed state: tokens_seen=%d", int(state.tokens_seen))
     step_fn = make_train_step(model, training_args)
     ckpt = CheckpointManager(args.ckpt_dir, model_args=model_args,
                              training_args=training_args)
 
     rng = jax.random.PRNGKey(args.seed + 2)
     bad_evals = 0
+    history = {"train_loss": [], "val_loss": [], "val_ppl": []}
     while int(state.tokens_seen) < args.max_train_tokens:
         rng, loop_rng = jax.random.split(rng)
         state, summary = train(
@@ -134,6 +154,9 @@ def main():
             summary["tokens_seen"], summary["avg_loss"],
             metrics["val_loss"], metrics["val_perplexity"],
         )
+        history["train_loss"].append(summary["avg_loss"])
+        history["val_loss"].append(metrics["val_loss"])
+        history["val_ppl"].append(metrics["val_perplexity"])
         saved = ckpt.maybe_save(state, metrics["val_loss"], force_regular=True)
         bad_evals = 0 if saved["best"] else bad_evals + 1
         if bad_evals >= args.early_stop_patience:
@@ -152,6 +175,7 @@ def main():
             )
             logger.info("sample: %s", sample)
 
+    plot_metrics(history, "nlp_training_metrics.png", title="MoE Text LM")
     logger.info("done: tokens_seen=%d", int(state.tokens_seen))
 
 

@@ -171,3 +171,46 @@ def test_token_generator_end_to_end():
     assert gen.generate_tokens("", GenerationArgs(), _FakeTokenizer()) == (
         "Please enter a valid prompt."
     )
+
+
+def test_fast_topk_sampling_distribution_equivalence():
+    """The top-k-subspace fast path induces exactly the same distribution as
+    the full-vocab filter pipeline."""
+    import jax
+
+    from vats_tpu.inference.sampling import apply_top_k, apply_top_p
+
+    rng = jax.random.PRNGKey(0)
+    logits = jax.random.normal(rng, (3, 100)) * 3.0
+    k, p, temp = 10, 0.8, 0.7
+
+    # generic path probabilities
+    full = apply_top_p(apply_top_k(logits / temp, k), p)
+    probs_full = np.asarray(jax.nn.softmax(full, axis=-1))
+
+    # fast path probabilities, scattered back to vocab space
+    vals, idx = jax.lax.top_k(logits, k)
+    vals = vals / temp
+    probs_sub = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs_sub, axis=-1)
+    remove = cum > p
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1
+    )
+    kept = jnp.where(remove, -jnp.inf, vals)
+    probs_kept = np.asarray(jax.nn.softmax(kept, axis=-1))
+    scattered = np.zeros((3, 100))
+    for b in range(3):
+        scattered[b, np.asarray(idx)[b]] = probs_kept[b]
+    np.testing.assert_allclose(scattered, probs_full, rtol=1e-5, atol=1e-6)
+
+    # and the sampler only ever emits tokens from the filtered support
+    from vats_tpu.inference.sampling import sample_logits
+
+    for seed in range(20):
+        tok = sample_logits(
+            jax.random.PRNGKey(seed), logits, temperature=temp, top_k=k,
+            top_p=p, do_sample=True,
+        )
+        for b in range(3):
+            assert probs_full[b, int(tok[b])] > 0
