@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from vats_tpu.configs.nlp import GenerationArgs, ModelArgs
 from vats_tpu.inference.sampling import sample_logits
-from vats_tpu.models.text_lm import TextLM
+from vats_tpu.models.text_lm import TextLM, resolve_dtype
 
 
 @functools.partial(
@@ -74,7 +74,8 @@ def generate(
     cfg = model.cfg
     if total_len is None:
         total_len = min(cfg.max_seq_len, t_prompt + max_new_tokens)
-    num_new = max(0, total_len - t_prompt)
+    # never generate more than max_new_tokens, even with a roomier buffer
+    num_new = min(max_new_tokens, max(0, total_len - t_prompt))
 
     if attention_mask is None:
         attention_mask = input_ids != pad_token_id
@@ -144,6 +145,137 @@ def generate(
     _, tokens, valid, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     lengths = jnp.sum(valid, axis=1).astype(jnp.int32)
     return tokens, lengths
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "max_new_tokens",
+        "temperature",
+        "top_k",
+        "top_p",
+        "do_sample",
+        "repetition_penalty",
+        "pad_token_id",
+        "eos_token_id",
+        "total_len",
+        "page_size",
+    ),
+)
+def generate_paged(
+    model: TextLM,
+    params: Any,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray],
+    rng: jax.Array,
+    *,
+    max_new_tokens: int,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    do_sample: bool = True,
+    repetition_penalty: Optional[float] = None,
+    pad_token_id: int = 0,
+    eos_token_id: Optional[int] = None,
+    total_len: Optional[int] = None,
+    page_size: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ragged-batch generation over a paged KV cache.
+
+    Unlike :func:`generate` (dense cache, every row shares absolute buffer
+    positions so padded prompts burn positions), rows here advance by their
+    TRUE lengths: per-sequence page tables + lengths, per-row RoPE positions,
+    and the paged decode kernel on TPU.  Returns (tokens [B, total_len] laid
+    out compactly per row, lengths [B]).
+    """
+    from vats_tpu.ops.decode_attention import PagedKVCache
+
+    b, t_prompt = input_ids.shape
+    cfg = model.cfg
+    if total_len is None:
+        total_len = min(cfg.max_seq_len, t_prompt + max_new_tokens)
+
+    if attention_mask is None:
+        attention_mask = input_ids != pad_token_id
+    attention_mask = attention_mask.astype(bool)
+    prompt_lens = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+
+    tokens = jnp.full((b, total_len), pad_token_id, dtype=jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(
+        tokens, input_ids.astype(jnp.int32), (0, 0)
+    )
+    valid = jnp.zeros((b, total_len), dtype=bool)
+    valid = jax.lax.dynamic_update_slice(valid, attention_mask, (0, 0))
+
+    cache = PagedKVCache.create(
+        num_layers=cfg.num_layers,
+        batch_size=b,
+        max_seq_len=total_len,
+        kv_heads=cfg.query_groups,
+        head_dim=cfg.head_dim,
+        page_size=page_size,
+        dtype=resolve_dtype(cfg.dtype),
+    )
+
+    logits, cache, _ = model.apply(
+        params, input_ids, padding_mask=attention_mask, paged_cache=cache,
+        deterministic=True,
+    )
+    last_idx = jnp.maximum(prompt_lens - 1, 0)
+    next_logits = jnp.take_along_axis(
+        logits, last_idx[:, None, None], axis=1
+    ).squeeze(1)
+
+    unfinished = jnp.ones((b,), dtype=bool)
+
+    def cond(state):
+        step, _, _, _, unfinished, _, _ = state
+        return jnp.logical_and(step < max_new_tokens, jnp.any(unfinished))
+
+    def body(state):
+        step, tokens, valid, cache, unfinished, next_logits, rng = state
+        rng, srng = jax.random.split(rng)
+        next_tokens = sample_logits(
+            srng,
+            next_logits,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            do_sample=do_sample,
+            repetition_penalty=repetition_penalty,
+            generated_ids=tokens,
+            generated_valid=valid,
+        )
+        # rows that would overflow their buffer stop generating
+        room = cache.lengths < total_len
+        unfinished = unfinished & room
+        next_tokens = jnp.where(unfinished, next_tokens, pad_token_id)
+
+        rows = jnp.arange(b)
+        pos = jnp.minimum(cache.lengths, total_len - 1)
+        active = unfinished  # rows actually emitting a token this step
+        tokens = tokens.at[rows, pos].set(
+            jnp.where(active, next_tokens, tokens[rows, pos])
+        )
+        valid = valid.at[rows, pos].set(valid[rows, pos] | active)
+        if eos_token_id is not None:
+            unfinished = unfinished & (next_tokens != eos_token_id)
+
+        logits, cache, _ = model.apply(
+            params, next_tokens[:, None], paged_cache=cache,
+            deterministic=True,
+        )
+        # finished rows appended a pad; roll their length back so the cache
+        # tracks true tokens only
+        cache = cache.replace(
+            lengths=jnp.where(active, cache.lengths, cache.lengths - 1)
+        )
+        return step + 1, tokens, valid, cache, unfinished, logits[:, 0], rng
+
+    state = (jnp.int32(0), tokens, valid, cache, unfinished, next_logits, rng)
+    _, tokens, valid, cache, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, jnp.sum(valid, axis=1).astype(jnp.int32)
 
 
 class TokenGenerator:

@@ -56,6 +56,7 @@ class TransformerBlock(nn.Module):
         padding_mask: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
         segment_ids: Optional[jnp.ndarray] = None,
+        paged_cache=None,
         layer_idx: int = 0,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[KVCache], jnp.ndarray]:
@@ -87,6 +88,7 @@ class TransformerBlock(nn.Module):
             right_window=cfg.right_window,
             padding_mask=padding_mask,
             cache=cache,
+            paged_cache=paged_cache,
             layer_idx=layer_idx,
             segment_ids=segment_ids,
             deterministic=deterministic,
@@ -125,10 +127,10 @@ class _ScanBlock(nn.Module):
         block_cls = TransformerBlock
         if self.cfg.gradient_checkpointing and not self.deterministic:
             block_cls = nn.remat(
-                TransformerBlock, static_argnums=(5, 6), prevent_cse=False
+                TransformerBlock, static_argnums=(6, 7), prevent_cse=False
             )
         x, _, aux = block_cls(self.cfg, name="block")(
-            x, padding_mask, None, segment_ids, 0, self.deterministic
+            x, padding_mask, None, segment_ids, None, 0, self.deterministic
         )
         return (x, aux_sum + aux.astype(jnp.float32), padding_mask, segment_ids), None
 
@@ -143,6 +145,7 @@ class TextLM(nn.Module):
         padding_mask: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
         segment_ids: Optional[jnp.ndarray] = None,
+        paged_cache=None,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[KVCache], jnp.ndarray]:
         """input_ids: [B, T] int32 -> (logits [B, T, V] fp32, cache', aux_loss).
@@ -191,17 +194,31 @@ class TextLM(nn.Module):
             if cfg.gradient_checkpointing and not deterministic:
                 block_cls = nn.remat(
                     TransformerBlock,
-                    static_argnums=(5, 6),  # layer_idx, deterministic
+                    static_argnums=(6, 7),  # layer_idx, deterministic
                     prevent_cse=False,
                 )
+            new_paged = paged_cache
             for i in range(cfg.num_layers):
-                x, new_cache, aux = block_cls(cfg, name=f"layer_{i}")(
-                    x, padding_mask, new_cache, segment_ids, i, deterministic
+                x, returned, aux = block_cls(cfg, name=f"layer_{i}")(
+                    x, padding_mask, new_cache, segment_ids, new_paged, i,
+                    deterministic,
                 )
+                if paged_cache is not None:
+                    new_paged = returned
+                else:
+                    new_cache = returned
                 total_aux = total_aux + aux.astype(jnp.float32)
 
-        if new_cache is not None:
-            new_cache = new_cache.advance(input_ids.shape[1])
+        t = input_ids.shape[1]
+        if paged_cache is not None:
+            # ragged advance: each row gains its true token count
+            if padding_mask is not None and t > 1:
+                counts = jnp.sum(padding_mask.astype(jnp.int32), axis=1)
+            else:
+                counts = jnp.full((input_ids.shape[0],), t, jnp.int32)
+            new_cache = new_paged.advance_by(counts)
+        elif new_cache is not None:
+            new_cache = new_cache.advance(t)
 
         x = RMSNorm(cfg.d_model, cfg.rms_norm_eps, dtype, param_dtype)(x)
 

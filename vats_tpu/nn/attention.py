@@ -166,9 +166,11 @@ class Attention(nn.Module):
         right_window: int = -1,
         padding_mask: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
+        paged_cache=None,
         layer_idx: int = 0,
         segment_ids: Optional[jnp.ndarray] = None,
         grid_shape: Optional[Tuple[int, ...]] = None,
+        paged_impl: str = "auto",
     ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         """x: [B, T, d_model] -> ([B, T, d_model], updated cache or None).
 
@@ -198,7 +200,12 @@ class Attention(nn.Module):
         if causal:
             right_window = 0  # reference rule (optimized_attention.py:518-521)
 
-        if cache is None:
+        if paged_cache is not None:
+            out, new_cache = self._paged_attention(
+                q, k, v, paged_cache, layer_idx, padding_mask, scale,
+                left_window, paged_impl,
+            )
+        elif cache is None:
             positions = jnp.arange(t)
             q = self._apply_rope(q, positions, grid_shape)
             k = self._apply_rope(k, positions, grid_shape)
@@ -272,6 +279,81 @@ class Attention(nn.Module):
         )
         return self.w_o(out), new_cache
 
+    def _paged_attention(
+        self, q, k, v, paged_cache, layer_idx, padding_mask, scale,
+        left_window, paged_impl,
+    ):
+        """Ragged-batch attention over a PagedKVCache (1D RoPE / causal only).
+
+        Per-row absolute positions come from the cache's per-sequence
+        ``lengths`` — rows at different depths decode correctly in one batch.
+        T==1 uses the paged decode kernel; prefill (T>1) gathers pages dense.
+        """
+        from vats_tpu.ops.decode_attention import (
+            paged_decode_attention,
+            paged_decode_attention_xla,
+        )
+
+        if self.rope_type != "1d":
+            raise NotImplementedError("paged decode supports 1D RoPE (text)")
+        b, t = q.shape[0], q.shape[1]
+        lengths = paged_cache.lengths  # [B]
+        positions = lengths[:, None] + jnp.arange(t)[None, :]  # [B, T]
+        q = apply_rope_1d(q, positions, self.rope_theta)
+        k = apply_rope_1d(k, positions, self.rope_theta)
+
+        if t == 1:
+            new_cache = paged_cache.append_token(layer_idx, k[:, 0], v[:, 0])
+            kp = new_cache.k_pages[layer_idx]
+            vp = new_cache.v_pages[layer_idx]
+            if paged_impl == "auto":
+                import jax
+
+                paged_impl = (
+                    "kernel" if jax.default_backend() == "tpu" else "xla"
+                )
+            if paged_impl == "xla":
+                out = paged_decode_attention_xla(
+                    q[:, 0], kp, vp, new_cache.page_table, lengths + 1,
+                    scale=scale,
+                )
+            else:
+                out = paged_decode_attention(
+                    q[:, 0], kp, vp, new_cache.page_table, lengths + 1,
+                    scale=scale, interpret=(paged_impl == "kernel_interpret"),
+                )
+            return out[:, None], new_cache
+
+        # prefill: append the whole window, gather dense, masked attention
+        new_cache = paged_cache.append_tokens(layer_idx, k, v)
+        k_buf, v_buf = new_cache.gather_dense(layer_idx)
+        s = k_buf.shape[1]
+        buf_pos = jnp.arange(s)[None, :]
+        kv_valid = buf_pos < (lengths + t)[:, None]
+        if padding_mask is not None:
+            # this prefill window occupies [lengths, lengths+t); positions in
+            # it are valid only where the prompt token is real
+            pad_full = jnp.ones((b, s), dtype=bool)
+            in_window = (buf_pos >= lengths[:, None]) & (
+                buf_pos < (lengths + t)[:, None]
+            )
+            rel = jnp.clip(buf_pos - lengths[:, None], 0, t - 1)
+            window_valid = jnp.take_along_axis(
+                padding_mask.astype(bool), rel, axis=1
+            )
+            pad_full = jnp.where(in_window, window_valid, pad_full)
+            kv_valid = kv_valid & pad_full
+        out = dot_product_attention(
+            q, k_buf, v_buf,
+            scale=scale,
+            causal=True,
+            left_window=left_window,
+            q_positions=positions,
+            kv_positions=jnp.arange(s),
+            kv_valid=kv_valid,
+        )
+        return out, new_cache
+
     @staticmethod
     def _merge_padding(kv_valid, padding_mask, start, b, max_s):
         import jax
@@ -316,9 +398,11 @@ class AttentionBlock(nn.Module):
         right_window: int = -1,
         padding_mask: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
+        paged_cache=None,
         layer_idx: int = 0,
         segment_ids: Optional[jnp.ndarray] = None,
         grid_shape: Optional[Tuple[int, ...]] = None,
+        paged_impl: str = "auto",
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         h = RMSNorm(self.d_model, self.eps, self.dtype, self.param_dtype)(x)
@@ -344,9 +428,11 @@ class AttentionBlock(nn.Module):
             right_window=right_window,
             padding_mask=padding_mask,
             cache=cache,
+            paged_cache=paged_cache,
             layer_idx=layer_idx,
             segment_ids=segment_ids,
             grid_shape=grid_shape,
+            paged_impl=paged_impl,
         )
         attn_out = nn.Dropout(rate=self.dropout)(attn_out, deterministic=deterministic)
         return x + attn_out, new_cache

@@ -106,8 +106,41 @@ class PagedKVCache:
         )
         return self.replace(k_pages=k_pages, v_pages=v_pages)
 
+    def append_tokens(
+        self, layer_idx: int, k_new: jnp.ndarray, v_new: jnp.ndarray
+    ) -> "PagedKVCache":
+        """Write T tokens per sequence starting at each sequence's current
+        length (prefill).  k_new/v_new: [B, T, G, hd]."""
+        b, t = k_new.shape[0], k_new.shape[1]
+        ps = self.page_size
+        pos = self.lengths[:, None] + jnp.arange(t)[None, :]  # [B, T]
+        logical_page = pos // ps
+        offset = pos % ps
+        phys = jnp.take_along_axis(self.page_table, logical_page, axis=1)  # [B, T]
+        k_pages = self.k_pages.at[layer_idx, :, phys, offset].set(
+            k_new.astype(self.k_pages.dtype)
+        )
+        v_pages = self.v_pages.at[layer_idx, :, phys, offset].set(
+            v_new.astype(self.v_pages.dtype)
+        )
+        return self.replace(k_pages=k_pages, v_pages=v_pages)
+
+    def gather_dense(self, layer_idx: int):
+        """Materialize a layer's pages as dense [B, S, G, hd] buffers
+        (prefill-time convenience; decode uses the paged kernel)."""
+        k = self.k_pages[layer_idx][:, self.page_table]  # [G, B, pps, ps, hd]
+        v = self.v_pages[layer_idx][:, self.page_table]
+        g, b, pps, ps, hd = k.shape
+        k = k.transpose(1, 2, 3, 0, 4).reshape(b, pps * ps, g, hd)
+        v = v.transpose(1, 2, 3, 0, 4).reshape(b, pps * ps, g, hd)
+        return k, v
+
     def advance(self, n: int = 1) -> "PagedKVCache":
         return self.replace(lengths=self.lengths + jnp.int32(n))
+
+    def advance_by(self, counts: jnp.ndarray) -> "PagedKVCache":
+        """Per-sequence advance (ragged prefill: each row's true length)."""
+        return self.replace(lengths=self.lengths + counts.astype(jnp.int32))
 
 
 def paged_decode_attention_xla(
