@@ -73,21 +73,33 @@ def make_sharded_train(
     *,
     num_training_steps: int = 1000,
     rules=None,
+    model_init_fn: Optional[Callable] = None,
+    train_step_fn: Optional[Callable] = None,
+    tx=None,
 ) -> Tuple[Callable, Callable, Any]:
     """Build (sharded_init, sharded_train_step, state_shardings).
 
     sharded_init(rng) -> TrainState laid out per the logical rules.
     sharded_train_step(state, batch, rng) -> (state, metrics), donated state.
+
+    Defaults target TextLM-shaped batches ({'input_ids', ...}); other model
+    families pass ``model_init_fn(rng) -> variables`` and a matching
+    ``train_step_fn(state, batch, rng)`` (e.g. vision models with
+    ``make_vision_train_step``'s raw function and an image-keyed batch).
     """
     from vats_tpu.train.loop import make_train_step_fn
     from vats_tpu.train.optimizer import create_optimizer
     from vats_tpu.train.state import TrainState
 
     rules = rules or DEFAULT_LOGICAL_AXIS_RULES
-    tx = create_optimizer(training_args, num_training_steps)
+    if tx is None:
+        tx = create_optimizer(training_args, num_training_steps)
+    if model_init_fn is None:
+        def model_init_fn(rng):
+            return model.init(rng, sample_batch["input_ids"])
 
     def init_fn(rng):
-        variables = model.init(rng, sample_batch["input_ids"])
+        variables = model_init_fn(rng)
         return TrainState.create(
             apply_fn=model.apply,
             params=variables["params"],
@@ -104,7 +116,7 @@ def make_sharded_train(
     with mesh:
         sharded_init = jax.jit(init_fn, out_shardings=state_shardings)
 
-    raw_step = make_train_step_fn(model, training_args)
+    raw_step = train_step_fn or make_train_step_fn(model, training_args)
 
     with mesh:
         sharded_step = jax.jit(
