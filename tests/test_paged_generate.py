@@ -104,3 +104,27 @@ def test_paged_generate_ragged_prompts():
             np.asarray(t_batch[row, : n + 5]),
             np.asarray(t_single[0, : n + 5]),
         )
+
+
+def test_token_generator_paged_mode():
+    from vats_tpu.configs import GenerationArgs
+    from vats_tpu.inference import TokenGenerator
+
+    class Tok:
+        pad_token_id = 0
+        eos_token_id = None
+
+        def encode(self, text):
+            return [ord(c) % 90 + 1 for c in text][:16]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(i) for i in ids)
+
+    args = tiny_args()
+    ga = GenerationArgs(max_new_tokens=8, temperature=0.0, do_sample=False,
+                        top_k=None, top_p=None, repetition_penalty=None)
+    dense = TokenGenerator(args, seed=0)
+    paged = TokenGenerator(args, seed=0, use_paged=True)
+    out_d = dense.generate_tokens("Once upon a time,", ga, Tok())
+    out_p = paged.generate_tokens("Once upon a time,", ga, Tok())
+    assert out_d == out_p and len(out_p) > 0

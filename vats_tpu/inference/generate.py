@@ -291,6 +291,7 @@ class TokenGenerator:
         params: Any = None,
         seed: int = 0,
         cast_params_to_compute_dtype: bool = False,
+        use_paged: bool = False,
     ):
         self.model_args = model_args
         self.model = TextLM(model_args)
@@ -314,6 +315,7 @@ class TokenGenerator:
                 params,
             )
         self.params = params
+        self.use_paged = use_paged
         self._rng = jax.random.PRNGKey(seed + 1)
 
     @staticmethod
@@ -351,7 +353,8 @@ class TokenGenerator:
         total_len = min(
             self.model_args.max_seq_len, bucket + generation_args.max_new_tokens
         )
-        tokens, lengths = generate(
+        gen_fn = generate_paged if self.use_paged else generate
+        tokens, lengths = gen_fn(
             self.model,
             self.params,
             input_ids,
@@ -369,11 +372,12 @@ class TokenGenerator:
         )
         row = jax.device_get(tokens[0])
         n_valid = int(lengths[0])
-        # row layout: [prompt (t), generated...]; valid counts skip pads
+        # dense layout: generated tokens start at the padded bucket length;
+        # paged layout: rows are compact, generated tokens start at t
+        gen_start = t if self.use_paged else bucket
+        new_ids = row[gen_start : gen_start + max(0, n_valid - t)]
         if generation_args.return_only_new_tokens:
-            out_ids = row[bucket : bucket + max(0, n_valid - t)]
+            out_ids = new_ids
         else:
-            out_ids = [i for i in row[:bucket][:t]] + list(
-                row[bucket : bucket + max(0, n_valid - t)]
-            )
+            out_ids = list(row[:t]) + list(new_ids)
         return tokenizer.decode(list(out_ids), skip_special_tokens=True)
