@@ -214,3 +214,20 @@ def test_fast_topk_sampling_distribution_equivalence():
         )
         for b in range(3):
             assert probs_full[b, int(tok[b])] > 0
+
+
+def test_approx_top_k_support():
+    """approx_max_k-based sampling stays within a plausible top-k support."""
+    from vats_tpu.inference.sampling import sample_logits
+
+    logits = jax.random.normal(jax.random.PRNGKey(9), (2, 256)) * 4.0
+    exact_top = np.asarray(jax.lax.top_k(logits, 40)[1])
+    for seed in range(10):
+        tok = sample_logits(
+            jax.random.PRNGKey(seed), logits, temperature=0.8, top_k=20,
+            do_sample=True, approx_top_k=True,
+        )
+        for b in range(2):
+            # approx recall ~0.95: sampled token should at least sit in the
+            # exact top-2k set
+            assert int(tok[b]) in exact_top[b]

@@ -45,6 +45,7 @@ from vats_tpu.models.text_lm import TextLM, resolve_dtype
         "pad_token_id",
         "eos_token_id",
         "total_len",
+        "approx_top_k",
     ),
 )
 def generate(
@@ -63,6 +64,7 @@ def generate(
     pad_token_id: int = 0,
     eos_token_id: Optional[int] = None,
     total_len: Optional[int] = None,
+    approx_top_k: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate up to ``max_new_tokens`` after a right-padded prompt.
 
@@ -119,6 +121,7 @@ def generate(
             repetition_penalty=repetition_penalty,
             generated_ids=tokens,
             generated_valid=valid,
+            approx_top_k=approx_top_k,
         )
         next_tokens = jnp.where(unfinished, next_tokens, pad_token_id)
 
