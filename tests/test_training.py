@@ -216,3 +216,23 @@ def test_non_finite_grads_are_skipped():
     leaves_after = jax.tree_util.tree_leaves(state_p2.params)
     for a, b in zip(leaves_before, leaves_after):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_roundtrip():
+    from vats_tpu.checkpoint import CheckpointManager, load_checkpoint
+
+    args, t, model, state = make_setup()
+    with tempfile.TemporaryDirectory() as d:
+        mgr = CheckpointManager(d, model_args=args, training_args=t,
+                                async_save=True)
+        saved = mgr.maybe_save(state, val_loss=1.0, force_regular=False)
+        assert saved["best"] is not None
+        mgr.wait()
+        restored, meta = load_checkpoint(saved["best"],
+                                         target=jax.device_get(state))
+        assert meta["loss"] == 1.0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -40,17 +40,21 @@ def save_checkpoint(
     loss: Optional[float] = None,
     is_best: bool = False,
     step_key: Optional[int] = None,
+    checkpointer: Optional[ocp.AbstractCheckpointer] = None,
 ) -> str:
     """Save train state + args.  Returns the checkpoint path.
 
     Naming mirrors the reference: ``best_model`` vs
-    ``checkpoint_tokens_seen_{N}`` (checkpointing.py:44-52).
+    ``checkpoint_tokens_seen_{N}`` (checkpointing.py:44-52).  Pass an
+    ``ocp.AsyncCheckpointer`` as ``checkpointer`` for non-blocking saves
+    (the training step keeps running while the write happens in the
+    background — call ``checkpointer.wait_until_finished()`` before exit).
     """
     if step_key is None:
         step_key = int(state.tokens_seen)
     name = "best_model" if is_best else f"checkpoint_tokens_seen_{step_key}"
     path = os.path.abspath(os.path.join(directory, name))
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = checkpointer or ocp.PyTreeCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
     meta = {
         "model_args": _args_to_dict(model_args),
@@ -59,7 +63,9 @@ def save_checkpoint(
         "loss": loss,
         "is_best": is_best,
     }
-    with open(os.path.join(path, "vats_meta.json"), "w") as f:
+    # sibling file, not inside the directory: async saves finalize the
+    # checkpoint dir with an atomic rename that would clobber extra files
+    with open(path + ".meta.json", "w") as f:
         json.dump(meta, f, indent=2, default=str)
     return path
 
@@ -72,12 +78,14 @@ def load_checkpoint(
     without it the raw restored tree is returned (args-only inspection —
     the reference's ``load_only_args`` mode)."""
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path), item=target)
-    meta_path = os.path.join(path, "vats_meta.json")
+    path = os.path.abspath(path)
+    restored = ckptr.restore(path, item=target)
     meta: Dict = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    for meta_path in (path + ".meta.json", os.path.join(path, "vats_meta.json")):
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            break
     return restored, meta
 
 
@@ -86,12 +94,29 @@ class CheckpointManager:
     periodic regular saves + best-on-val-improvement,
     /root/reference/scripts/transformers/nlp/train.py:229-259)."""
 
-    def __init__(self, directory: str, *, model_args=None, training_args=None):
+    def __init__(
+        self,
+        directory: str,
+        *,
+        model_args=None,
+        training_args=None,
+        async_save: bool = False,
+    ):
         self.directory = directory
         self.model_args = model_args
         self.training_args = training_args
         self.best_loss = float("inf")
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            if async_save
+            else None
+        )
         os.makedirs(directory, exist_ok=True)
+
+    def wait(self) -> None:
+        """Block until any in-flight async save completes."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
 
     def maybe_save(
         self, state: TrainState, val_loss: float, *, force_regular: bool = False
@@ -106,6 +131,7 @@ class CheckpointManager:
                 training_args=self.training_args,
                 loss=val_loss,
                 is_best=True,
+                checkpointer=self._ckptr,
             )
         if force_regular:
             saved["regular"] = save_checkpoint(
@@ -114,5 +140,6 @@ class CheckpointManager:
                 model_args=self.model_args,
                 training_args=self.training_args,
                 loss=val_loss,
+                checkpointer=self._ckptr,
             )
         return saved
