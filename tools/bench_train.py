@@ -36,7 +36,7 @@ def main():
         dropout=0.1,
         left_window=-1,
         use_mqa=False,
-        gradient_checkpointing=True,
+        gradient_checkpointing=False,
         moe_dispatch="scatter",
         capacity_factor=1.25,
         **BENCH_CFG,
@@ -72,8 +72,8 @@ def main():
                 "metric": "moe_train_tokens_per_sec_per_chip",
                 "value": round(toks / dt, 2),
                 "unit": "tokens/s/chip",
-                "config": f"bench shapes, B={BATCH}, T={SEQ_LEN}, remat, "
-                          "fwd+bwd+AdamW",
+                "config": f"bench shapes, B={BATCH}, T={SEQ_LEN}, "
+                          "fwd+bwd+AdamW (no remat)",
                 "vs_baseline": None,
             }
         )
