@@ -80,12 +80,15 @@ def random_augmentation(
     images: jnp.ndarray,
     targets: jnp.ndarray,
     alpha: float,
+    cutmix_alpha: float = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Uniformly choose mixup / cutmix / none (reference chooser semantics)."""
+    if cutmix_alpha is None:
+        cutmix_alpha = alpha
     rng_choice, rng_aug = jax.random.split(rng)
     choice = jax.random.randint(rng_choice, (), 0, 3)
     mix = mixup_data(rng_aug, images, targets, alpha)
-    cut = cutmix_data(rng_aug, images, targets, alpha)
+    cut = cutmix_data(rng_aug, images, targets, cutmix_alpha)
     none = (images, targets, targets, jnp.float32(1.0))
 
     def pick(i):

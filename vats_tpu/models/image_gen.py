@@ -144,7 +144,10 @@ class ARImageTransformerBlock(nn.Module):
             eps=cfg.rms_norm_eps,
             num_layers=cfg.num_layers,
             impl=cfg.attention_impl,
-            rope_type="2d_ntk" if cfg.use_ntk_rope else "2d_ntk",
+            # use_ntk_rope only gates rope_ntk_scale: with scale=None the
+            # 2d_ntk path reduces to classic 2D RoPE (NTKRoPE2D semantics,
+            # /root/reference/.../rope_2d.py:106-115)
+            rope_type="2d_ntk",
             rope_ntk_scale=cfg.ntk_scale_factor if cfg.use_ntk_rope else None,
             dtype=dtype,
             param_dtype=param_dtype,

@@ -91,8 +91,12 @@ class PagedKVCache:
         length.  k_new/v_new: [B, G, hd].  ``advance`` separately."""
         b = k_new.shape[0]
         ps = self.page_size
-        logical_page = self.lengths // ps  # [B]
-        offset = self.lengths % ps  # [B]
+        # rows already at capacity (lengths == max) would index one page past
+        # the table; clamp so the masked-out pad token can't corrupt slot 0 of
+        # a neighbouring page via XLA's clamped gather
+        pos = jnp.minimum(self.lengths, self.pages_per_seq * ps - 1)
+        logical_page = pos // ps  # [B]
+        offset = pos % ps  # [B]
         phys = jnp.take_along_axis(
             self.page_table, logical_page[:, None], axis=1
         )[:, 0]  # [B]

@@ -570,8 +570,11 @@ def flash_attention(
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
-    block_q = min(block_q, max(t, 8))
-    block_k = min(block_k, max(s, 8))
+    # clamp to the sequence length, then round the clamped block back up to
+    # the TPU tile granule (8 sublanes / 128 lanes) — _pad_to absorbs the
+    # remainder, and Mosaic rejects off-tile block shapes on hardware
+    block_q = -(-min(block_q, max(t, 8)) // 8) * 8
+    block_k = -(-min(block_k, max(s, 8)) // NUM_LANES) * NUM_LANES
     out = _flash_attention(
         qt, kt, vt, kv_valid.astype(jnp.int32),
         float(scale), bool(causal), int(left_window), int(right_window),

@@ -108,7 +108,8 @@ def make_vision_train_step(
         images, targets = batch["images"], batch["labels"]
         if args.use_augmentation:
             images, t_a, t_b, lam = random_augmentation(
-                aug_rng, images, targets, args.mixup_alpha
+                aug_rng, images, targets, args.mixup_alpha,
+                cutmix_alpha=args.cutmix_alpha,
             )
         else:
             t_a = t_b = targets
