@@ -124,3 +124,83 @@ def test_flash_bf16_inputs():
         rtol=2e-2,
         atol=2e-2,
     )
+
+
+@pytest.mark.parametrize("d", [64, 66, 72, 60, 16])
+def test_flash_odd_head_dims(d):
+    """Head dims off the 128-lane tile (the configs' real operating points:
+    nlp bench 64, vit2d 72, vit3d 66, nlp small 60/16) run via in-wrapper
+    zero-padding of the head dim — exact, not approximate."""
+    b, t, hq, g = 2, 40, 4, 2
+    q, k, v = make_qkv(10 + d, b, t, t, hq, g, d)
+    scale = 1.0 / np.sqrt(d)
+    out_flash = flash(q, k, v, scale=scale, causal=True, left_window=17)
+    out_ref = dot_product_attention(
+        q, k, v, scale=scale, causal=True, left_window=17
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_ref), rtol=2e-4, atol=2e-5
+    )
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash(q, k, v, scale=scale, causal=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            dot_product_attention(q, k, v, scale=scale, causal=True) ** 2
+        )
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_flash_segment_ids():
+    """Packed sequences: per-segment causal attention must match the oracle
+    (and differ from the unsegmented result)."""
+    b, t, d, hq, g = 2, 48, 32, 4, 2
+    q, k, v = make_qkv(7, b, t, t, hq, g, d)
+    scale = 1.0 / np.sqrt(d)
+    # 3 packed docs per row with different boundaries per batch row
+    seg = jnp.stack([
+        jnp.concatenate([jnp.zeros(10), jnp.ones(18), jnp.full(20, 2)]),
+        jnp.concatenate([jnp.zeros(25), jnp.ones(5), jnp.full(18, 2)]),
+    ]).astype(jnp.int32)
+    out_flash = flash(
+        q, k, v, scale=scale, causal=True,
+        q_segment_ids=seg, kv_segment_ids=seg,
+    )
+    out_ref = dot_product_attention(
+        q, k, v, scale=scale, causal=True,
+        q_segment_ids=seg, kv_segment_ids=seg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_ref), rtol=2e-4, atol=2e-5
+    )
+    out_noseg = flash(q, k, v, scale=scale, causal=True)
+    assert not np.allclose(np.asarray(out_flash), np.asarray(out_noseg))
+
+
+def test_flash_segment_ids_gradients():
+    b, t, d, hq, g = 1, 32, 32, 4, 1
+    q, k, v = make_qkv(8, b, t, t, hq, g, d)
+    seg = jnp.concatenate([jnp.zeros(13), jnp.ones(19)])[None].astype(jnp.int32)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(
+                fn(q, k, v, scale=scale, causal=True,
+                   q_segment_ids=seg, kv_segment_ids=seg) ** 2
+            )
+        return f
+
+    gf = jax.grad(loss(flash), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(dot_product_attention), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
+        )

@@ -222,3 +222,21 @@ def test_image_gen_trainer_evaluate():
     metrics = trainer.evaluate(iter([batch, batch]), max_batches=2)
     assert metrics["batches"] == 2
     assert np.isfinite(metrics["loss"])
+
+
+def test_paged_image_decode_matches_dense(ar_model_and_params):
+    """North-star requirement: the image raster decode runs paged; the paged
+    loop must reproduce the dense-cache loop token-for-token (greedy)."""
+    from vats_tpu.inference.image_generation import generate_image_tokens_paged
+
+    model, params = ar_model_and_params
+    text = jax.random.normal(jax.random.PRNGKey(20), (2, 6, CFG.d_model))
+    dense = generate_image_tokens(
+        model, params, text, None, jax.random.PRNGKey(21),
+        grid_h=4, grid_w=4, temperature=0.0, do_sample=False,
+    )
+    paged = generate_image_tokens_paged(
+        model, params, text, None, jax.random.PRNGKey(22),
+        grid_h=4, grid_w=4, temperature=0.0, do_sample=False, page_size=4,
+    )
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(paged))

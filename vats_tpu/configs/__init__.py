@@ -19,3 +19,9 @@ __all__ = [
     "nlp_xlarge",
     "nlp_xsmall",
 ]
+from vats_tpu.configs.multimodal import (
+    MultimodalStreamArgs,
+    multimodal_small,
+    multimodal_xsmall,
+)
+__all__ += ["MultimodalStreamArgs", "multimodal_small", "multimodal_xsmall"]

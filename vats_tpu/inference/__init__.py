@@ -14,3 +14,5 @@ __all__ = [
     "generate",
     "sample_logits",
 ]
+from vats_tpu.inference.multimodal import generate_multimodal
+__all__ += ["generate_multimodal"]

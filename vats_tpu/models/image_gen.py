@@ -126,6 +126,7 @@ class ARImageTransformerBlock(nn.Module):
         grid_w: int,
         layer_idx: int,
         deterministic: bool = True,
+        paged_cache=None,
     ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         cfg = self.cfg
         dtype = resolve_dtype(cfg.dtype)
@@ -159,6 +160,7 @@ class ARImageTransformerBlock(nn.Module):
             right_window=cfg.right_window,
             padding_mask=causal_padding_mask,
             cache=cache,
+            paged_cache=paged_cache,
             layer_idx=layer_idx,
             grid_shape=(grid_w,),
             deterministic=deterministic,
@@ -199,6 +201,7 @@ class AutoregressiveImageTransformer(nn.Module):
         causal_padding_mask: Optional[jnp.ndarray] = None,
         cross_padding_mask: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
+        paged_cache=None,
         grid_w: Optional[int] = None,
         return_logits: bool = False,
         deterministic: bool = True,
@@ -245,8 +248,12 @@ class AutoregressiveImageTransformer(nn.Module):
                 prevent_cse=False,
             )
         new_cache = cache
+        new_paged = paged_cache
         for i in range(cfg.num_layers):
-            x, new_cache = block_cls(cfg, name=f"layer_{i}")(
+            # the paged kwarg is only forwarded when paged decoding (remat'd
+            # training blocks take positional args only)
+            kw = {"paged_cache": new_paged} if paged_cache is not None else {}
+            x, returned = block_cls(cfg, name=f"layer_{i}")(
                 x,
                 text_embeddings,
                 causal_padding_mask,
@@ -255,9 +262,21 @@ class AutoregressiveImageTransformer(nn.Module):
                 grid_w,
                 i,
                 deterministic,
+                **kw,
             )
-        if new_cache is not None:
-            new_cache = new_cache.advance(flat.shape[1])
+            if paged_cache is not None:
+                new_paged = returned
+            else:
+                new_cache = returned
+        t = flat.shape[1]
+        if paged_cache is not None:
+            if causal_padding_mask is not None and t > 1:
+                counts = jnp.sum(causal_padding_mask.astype(jnp.int32), axis=1)
+            else:
+                counts = jnp.full((b,), t, jnp.int32)
+            new_cache = new_paged.advance_by(counts)
+        elif new_cache is not None:
+            new_cache = new_cache.advance(t)
 
         x = RMSNorm(cfg.d_model, cfg.rms_norm_eps, dtype, param_dtype)(x)
 
@@ -289,6 +308,23 @@ class AutoregressiveImageTransformer(nn.Module):
             max_seq_len=max_len or cfg.max_position_embeddings,
             kv_heads=cfg.query_groups,
             head_dim=cfg.head_dim,
+            dtype=resolve_dtype(cfg.dtype),
+        )
+
+    def init_paged_cache(
+        self, batch_size: int, max_len: Optional[int] = None,
+        page_size: int = 16,
+    ):
+        from vats_tpu.ops.decode_attention import PagedKVCache
+
+        cfg = self.cfg
+        return PagedKVCache.create(
+            num_layers=cfg.num_layers,
+            batch_size=batch_size,
+            max_seq_len=max_len or cfg.max_position_embeddings,
+            kv_heads=cfg.query_groups,
+            head_dim=cfg.head_dim,
+            page_size=page_size,
             dtype=resolve_dtype(cfg.dtype),
         )
 

@@ -36,21 +36,25 @@ from vats_tpu.nn.rope import (
     apply_rope_2d_axial,
     apply_rope_2d_ntk_positions,
     apply_rope_3d_axial,
+    apply_rope_3d_ntk_positions,
+    apply_rope_interleaved,
 )
 from vats_tpu.ops import dot_product_attention
 from vats_tpu.parallel import with_logical_constraint
 
 
 def select_attention_impl(impl: str, *, head_dim: int) -> str:
-    """'auto' picks the Pallas flash kernel on TPU with lane-aligned head
-    dims, the XLA oracle otherwise.  'flash_interpret' runs the kernel in
-    interpreter mode (CPU tests)."""
+    """'auto' picks the Pallas flash kernel on TPU (any head dim — the kernel
+    zero-pads off-tile head dims internally, matching the reference's flash
+    default at head_dim 64, /root/reference/configs/setup_env.py:14-20), the
+    XLA oracle otherwise.  'flash_interpret' runs the kernel in interpreter
+    mode (CPU tests)."""
     if impl != "auto":
         return impl
     try:
         import jax
 
-        if jax.default_backend() != "tpu" or head_dim % 128 != 0:
+        if jax.default_backend() != "tpu":
             return "xla"
         return "flash"
     except Exception:
@@ -80,11 +84,22 @@ class Attention(nn.Module):
     def head_dim(self) -> int:
         return self.d_model // self.num_heads
 
-    def _apply_rope(self, x, positions, grid_shape):
+    def _apply_rope(self, x, positions, grid_shape, rope_angles=None):
+        if rope_angles is not None:
+            # caller-supplied per-token (cos, sin) tables — used by the fused
+            # multimodal token stream where each position's rotation depends
+            # on its modality (text 1D / image 2D / video 3D)
+            return apply_rope_interleaved(x, *rope_angles)
         if self.rope_type == "none":
             return x
         if self.rope_type == "1d":
             return apply_rope_1d(x, positions, self.rope_theta)
+        if self.rope_type == "3d_ntk":
+            # raster-order (t-major) positions over a (gt, gh, gw) grid
+            gh, gw = grid_shape[-2], grid_shape[-1]
+            return apply_rope_3d_ntk_positions(
+                x, positions, gh, gw, self.rope_theta, self.rope_ntk_scale
+            )
         if self.rope_type == "2d_axial":
             gh, gw = grid_shape
             return apply_rope_2d_axial(
@@ -171,6 +186,7 @@ class Attention(nn.Module):
         segment_ids: Optional[jnp.ndarray] = None,
         grid_shape: Optional[Tuple[int, ...]] = None,
         paged_impl: str = "auto",
+        rope_angles: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         """x: [B, T, d_model] -> ([B, T, d_model], updated cache or None).
 
@@ -203,14 +219,14 @@ class Attention(nn.Module):
         if paged_cache is not None:
             out, new_cache = self._paged_attention(
                 q, k, v, paged_cache, layer_idx, padding_mask, scale,
-                left_window, paged_impl,
+                left_window, paged_impl, grid_shape, rope_angles,
             )
         elif cache is None:
             positions = jnp.arange(t)
-            q = self._apply_rope(q, positions, grid_shape)
-            k = self._apply_rope(k, positions, grid_shape)
+            q = self._apply_rope(q, positions, grid_shape, rope_angles)
+            k = self._apply_rope(k, positions, grid_shape, rope_angles)
             impl = select_attention_impl(self.impl, head_dim=self.head_dim)
-            if impl in ("flash", "flash_interpret") and segment_ids is None:
+            if impl in ("flash", "flash_interpret"):
                 from vats_tpu.ops.flash_attention import flash_attention
 
                 out = flash_attention(
@@ -222,6 +238,8 @@ class Attention(nn.Module):
                     left_window=left_window,
                     right_window=right_window,
                     kv_valid=padding_mask,
+                    q_segment_ids=segment_ids,
+                    kv_segment_ids=segment_ids,
                     interpret=(impl == "flash_interpret"),
                 )
             else:
@@ -239,15 +257,17 @@ class Attention(nn.Module):
                 )
             new_cache = None
         else:
-            if self.rope_type not in ("1d", "2d_ntk", "none"):
+            if rope_angles is None and self.rope_type not in (
+                "1d", "2d_ntk", "3d_ntk", "none"
+            ):
                 raise NotImplementedError(
                     f"KV-cached decode not supported for rope_type="
                     f"{self.rope_type}"
                 )
             start = cache.length
             positions = start + jnp.arange(t)
-            q = self._apply_rope(q, positions, grid_shape)
-            k = self._apply_rope(k, positions, grid_shape)
+            q = self._apply_rope(q, positions, grid_shape, rope_angles)
+            k = self._apply_rope(k, positions, grid_shape, rope_angles)
             new_cache = cache.update_layer(layer_idx, k, v)
             k_buf, v_buf = new_cache.layer(layer_idx)
             kv_valid = new_cache.valid_mask(b, extra=t)
@@ -281,26 +301,33 @@ class Attention(nn.Module):
 
     def _paged_attention(
         self, q, k, v, paged_cache, layer_idx, padding_mask, scale,
-        left_window, paged_impl,
+        left_window, paged_impl, grid_shape=None, rope_angles=None,
     ):
-        """Ragged-batch attention over a PagedKVCache (1D RoPE / causal only).
+        """Ragged-batch causal attention over a PagedKVCache.
 
         Per-row absolute positions come from the cache's per-sequence
         ``lengths`` — rows at different depths decode correctly in one batch.
-        T==1 uses the paged decode kernel; prefill (T>1) gathers pages dense.
+        Supports 1D (text), raster 2D-NTK (image-gen), raster 3D-NTK (video
+        token streams) RoPE, or caller-supplied per-token angles (fused
+        multimodal streams).  T==1 uses the paged decode kernel; prefill
+        (T>1) gathers pages dense.
         """
         from vats_tpu.ops.decode_attention import (
             paged_decode_attention,
             paged_decode_attention_xla,
         )
 
-        if self.rope_type != "1d":
-            raise NotImplementedError("paged decode supports 1D RoPE (text)")
+        if rope_angles is None and self.rope_type not in (
+            "1d", "2d_ntk", "3d_ntk", "none"
+        ):
+            raise NotImplementedError(
+                f"paged decode not supported for rope_type={self.rope_type}"
+            )
         b, t = q.shape[0], q.shape[1]
         lengths = paged_cache.lengths  # [B]
         positions = lengths[:, None] + jnp.arange(t)[None, :]  # [B, T]
-        q = apply_rope_1d(q, positions, self.rope_theta)
-        k = apply_rope_1d(k, positions, self.rope_theta)
+        q = self._apply_rope(q, positions, grid_shape, rope_angles)
+        k = self._apply_rope(k, positions, grid_shape, rope_angles)
 
         if t == 1:
             new_cache = paged_cache.append_token(layer_idx, k[:, 0], v[:, 0])
@@ -403,6 +430,7 @@ class AttentionBlock(nn.Module):
         segment_ids: Optional[jnp.ndarray] = None,
         grid_shape: Optional[Tuple[int, ...]] = None,
         paged_impl: str = "auto",
+        rope_angles: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         h = RMSNorm(self.d_model, self.eps, self.dtype, self.param_dtype)(x)
@@ -433,6 +461,7 @@ class AttentionBlock(nn.Module):
             segment_ids=segment_ids,
             grid_shape=grid_shape,
             paged_impl=paged_impl,
+            rope_angles=rope_angles,
         )
         attn_out = nn.Dropout(rate=self.dropout)(attn_out, deterministic=deterministic)
         return x + attn_out, new_cache

@@ -215,6 +215,50 @@ def apply_rope_2d_ntk_positions(
 # ---------------------------------------------------------------------------
 
 
+def apply_rope_3d_ntk_positions(
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    grid_h: int,
+    grid_w: int,
+    theta: float,
+    ntk_scale_factor: Optional[float] = None,
+) -> jnp.ndarray:
+    """Interleaved 3D RoPE from flattened raster-order positions (t-major).
+
+    The decode-time counterpart of the 3D rotation for video token streams:
+    t = pos // (grid_h*grid_w), then (h, w) raster within the frame.  The
+    head_dim//2 interleaved angle vector splits into three equal chunks
+    rotating by t / h / w coordinates (head_dim % 6 == 0, the reference's
+    RoPE3D rule, /root/reference/src/transformers/vision/vit_3d/rope_3d.py).
+    The reference's own NTKRoPE3D is an identity stub (SURVEY.md §2.13.3);
+    this is the designed behavior.  Works for full forwards
+    (positions == arange(N)) and paged decode (per-row scalar positions).
+    """
+    head_dim = x.shape[-1]
+    if head_dim % 6 != 0:
+        raise ValueError(f"head_dim ({head_dim}) must be divisible by 6")
+    c = head_dim // 6  # pairs per axis
+    inv_freq = 1.0 / (theta ** (jnp.arange(c, dtype=jnp.float32) / c))
+    fpf = grid_h * grid_w  # tokens per frame
+    ts = (positions // fpf).astype(jnp.float32)
+    rem = positions % fpf
+    rows = (rem // grid_w).astype(jnp.float32)
+    cols = (rem % grid_w).astype(jnp.float32)
+    if ntk_scale_factor is not None:
+        ts = ts * ntk_scale_factor
+        rows = rows * ntk_scale_factor
+        cols = cols * ntk_scale_factor
+    angles = jnp.concatenate(
+        [
+            ts[..., None] * inv_freq,
+            rows[..., None] * inv_freq,
+            cols[..., None] * inv_freq,
+        ],
+        axis=-1,
+    )  # positions.shape + [head_dim//2]
+    return apply_rope_interleaved(x, jnp.cos(angles), jnp.sin(angles))
+
+
 def apply_rope_3d_axial(
     x: jnp.ndarray,
     grid_t: int,

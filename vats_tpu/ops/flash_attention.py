@@ -69,6 +69,8 @@ def _fwd_kernel(
     k_ref,
     v_ref,
     valid_ref,
+    qseg_ref,
+    kseg_ref,
     o_ref,
     m_scratch,
     l_scratch,
@@ -82,6 +84,7 @@ def _fwd_kernel(
     block_k: int,
     kv_len: int,
     mask_value: float,
+    use_segids: bool,
 ):
     b_idx = pl.program_id(0)
     q_blk = pl.program_id(2)
@@ -128,6 +131,9 @@ def _fwd_kernel(
         # valid_ref block spans the full batch (Mosaic tiling: the
         # second-to-last block dim must be 8-divisible or the whole axis)
         mask &= (valid_ref[b_idx] != 0)[None, :]
+        if use_segids:
+            # packed sequences: tokens attend only within their own segment
+            mask &= qseg_ref[b_idx][:, None] == kseg_ref[b_idx][None, :]
         s = jnp.where(mask, s, mask_value)
 
         m_prev = m_scratch[...]  # [block_q, NUM_LANES]
@@ -164,10 +170,10 @@ def _fwd_kernel_lse(*refs, **kw):
     lse_ref layout: [1, 1, 8, block_q] — replicated over an 8-sublane axis so
     the block satisfies Mosaic's (8, 128) tiling rule (a bare [.., block_q]
     row vector cannot be tiled)."""
-    (q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
+    (q_ref, k_ref, v_ref, valid_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
      m_scratch, l_scratch, acc_scratch) = refs
     _fwd_kernel(
-        q_ref, k_ref, v_ref, valid_ref, o_ref,
+        q_ref, k_ref, v_ref, valid_ref, qseg_ref, kseg_ref, o_ref,
         m_scratch, l_scratch, acc_scratch, **kw,
     )
     kv_blk = pl.program_id(3)
@@ -183,6 +189,7 @@ def _fwd_kernel_lse(*refs, **kw):
 
 def _bwd_dkv_kernel(
     q_ref, do_ref, k_ref, v_ref, lse_ref, di_ref, valid_ref,
+    qseg_ref, kseg_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *,
@@ -193,14 +200,20 @@ def _bwd_dkv_kernel(
     block_q: int,
     block_k: int,
     mask_value: float,
+    use_segids: bool,
+    ratio: int,
 ):
-    """Accumulate dK/dV for one KV block across all Q blocks (innermost)."""
+    """Accumulate dK/dV for one KV block across all (q_head_in_group, q_block)
+    pairs (innermost axis), so the output is per KV *group* [B, G, S, d] —
+    no per-q-head dK/dV inflation (Hq/G× memory saved for GQA/MQA)."""
     b_idx = pl.program_id(0)
     kv_blk = pl.program_id(2)
-    q_blk = pl.program_id(3)
-    num_q_blocks = pl.num_programs(3)
+    inner = pl.program_id(3)  # enumerates ratio * num_q_blocks
+    num_inner = pl.num_programs(3)
+    num_q_blocks = num_inner // ratio
+    q_blk = jax.lax.rem(inner, num_q_blocks)
 
-    @pl.when(q_blk == 0)
+    @pl.when(inner == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -232,6 +245,8 @@ def _bwd_dkv_kernel(
             right_window=right_window,
         )
         mask &= (valid_ref[b_idx] != 0)[None, :]
+        if use_segids:
+            mask &= qseg_ref[b_idx][:, None] == kseg_ref[b_idx][None, :]
         p = jnp.exp(jnp.where(mask, s, mask_value) - lse[:, None])
         p = jnp.where(mask, p, 0.0)  # [bq, bk]
 
@@ -246,7 +261,7 @@ def _bwd_dkv_kernel(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # ds^T @ q -> [bk, d]
 
-    @pl.when(q_blk == num_q_blocks - 1)
+    @pl.when(inner == num_inner - 1)
     def _store():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -254,6 +269,7 @@ def _bwd_dkv_kernel(
 
 def _bwd_dq_kernel(
     q_ref, do_ref, k_ref, v_ref, lse_ref, di_ref, valid_ref,
+    qseg_ref, kseg_ref,
     dq_ref,
     dq_acc,
     *,
@@ -264,6 +280,7 @@ def _bwd_dq_kernel(
     block_q: int,
     block_k: int,
     mask_value: float,
+    use_segids: bool,
 ):
     """Accumulate dQ for one Q block across all KV blocks (innermost)."""
     b_idx = pl.program_id(0)
@@ -302,6 +319,8 @@ def _bwd_dq_kernel(
             right_window=right_window,
         )
         mask &= (valid_ref[b_idx] != 0)[None, :]
+        if use_segids:
+            mask &= qseg_ref[b_idx][:, None] == kseg_ref[b_idx][None, :]
         p = jnp.exp(jnp.where(mask, s, mask_value) - lse[:, None])
         p = jnp.where(mask, p, 0.0)
         dp = jax.lax.dot_general(
@@ -327,13 +346,15 @@ def _pad_to(x, size, axis, value=0):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
 )
 def _flash_attention(
     q,
     k,
     v,
     kv_valid,
+    q_seg,
+    kv_seg,
     scale,
     causal,
     left_window,
@@ -341,18 +362,20 @@ def _flash_attention(
     block_q,
     block_k,
     interpret,
+    use_segids,
 ):
     return _flash_forward(
-        q, k, v, kv_valid, scale, causal, left_window, right_window,
-        block_q, block_k, interpret,
+        q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
+        right_window, block_q, block_k, interpret, use_segids,
     )
 
 
 def _flash_forward(
-    q, k, v, kv_valid, scale, causal, left_window, right_window,
-    block_q, block_k, interpret, return_lse=False,
+    q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
+    right_window, block_q, block_k, interpret, use_segids, return_lse=False,
 ):
-    """q: [B, Hq, T, D]; k/v: [B, G, S, D]; kv_valid: [B, S] int32."""
+    """q: [B, Hq, T, D]; k/v: [B, G, S, D]; kv_valid: [B, S] int32;
+    q_seg: [B, T] / kv_seg: [B, S] int32 segment ids (packed sequences)."""
     b, hq, t, d = q.shape
     _, g, s, _ = k.shape
     ratio = hq // g
@@ -363,6 +386,9 @@ def _flash_forward(
     kp = _pad_to(k, s_pad, 2)
     vp = _pad_to(v, s_pad, 2)
     validp = _pad_to(kv_valid.astype(jnp.int32), s_pad, 1)
+    # distinct pad sentinels so padded q rows never match padded kv columns
+    qsegp = _pad_to(q_seg.astype(jnp.int32), t_pad, 1, value=-1)
+    ksegp = _pad_to(kv_seg.astype(jnp.int32), s_pad, 1, value=-2)
 
     grid = (b, hq, t_pad // block_q, s_pad // block_k)
 
@@ -375,6 +401,7 @@ def _flash_forward(
         block_k=block_k,
         kv_len=s,
         mask_value=DEFAULT_MASK_VALUE,
+        use_segids=use_segids,
     )
     kernel = functools.partial(
         _fwd_kernel_lse if return_lse else _fwd_kernel, **kw
@@ -390,6 +417,8 @@ def _flash_forward(
             (1, 1, block_k, d),
             lambda b_, h, qi, ki, ratio=ratio: (b_, h // ratio, ki, 0),
         ),
+        pl.BlockSpec((b, block_k), lambda b_, h, qi, ki: (0, ki)),
+        pl.BlockSpec((b, block_q), lambda b_, h, qi, ki: (0, qi)),
         pl.BlockSpec((b, block_k), lambda b_, h, qi, ki: (0, ki)),
     ]
     o_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0))
@@ -428,7 +457,7 @@ def _flash_forward(
         scratch_shapes=scratch_shapes,
         compiler_params=compiler_params,
         interpret=interpret,
-    )(qp, kp, vp, validp)
+    )(qp, kp, vp, validp, qsegp, ksegp)
     if return_lse:
         o, lse = out
         return o[:, :, :t], lse
@@ -436,26 +465,27 @@ def _flash_forward(
 
 
 def _flash_fwd_rule(
-    q, k, v, kv_valid, scale, causal, left_window, right_window,
-    block_q, block_k, interpret,
+    q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
+    right_window, block_q, block_k, interpret, use_segids,
 ):
     o, lse = _flash_forward(
-        q, k, v, kv_valid, scale, causal, left_window, right_window,
-        block_q, block_k, interpret, return_lse=True,
+        q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
+        right_window, block_q, block_k, interpret, use_segids,
+        return_lse=True,
     )
-    return o, (q, k, v, kv_valid, o, lse)
+    return o, (q, k, v, kv_valid, q_seg, kv_seg, o, lse)
 
 
 def _flash_bwd_rule(
     scale, causal, left_window, right_window, block_q, block_k, interpret,
-    residuals, do,
+    use_segids, residuals, do,
 ):
     """Fused Pallas backward: separate dK/dV and dQ kernels sharing the
     forward's masking and block-skip structure.  The [T, S] probability
     matrix is never materialized; softmax is reconstructed per tile from the
     saved logsumexp, and di = sum(do*o) is shared by both kernels (guide's
     flash-backward recipe)."""
-    q, k, v, kv_valid, o, lse = residuals
+    q, k, v, kv_valid, q_seg, kv_seg, o, lse = residuals
     b, hq, t, d = q.shape
     g, s = k.shape[1], k.shape[2]
     ratio = hq // g
@@ -467,6 +497,8 @@ def _flash_bwd_rule(
     kp = _pad_to(k, s_pad, 2)
     vp = _pad_to(v, s_pad, 2)
     validp = _pad_to(kv_valid.astype(jnp.int32), s_pad, 1)
+    qsegp = _pad_to(q_seg.astype(jnp.int32), t_pad, 1, value=-1)
+    ksegp = _pad_to(kv_seg.astype(jnp.int32), s_pad, 1, value=-2)
 
     di = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
@@ -478,17 +510,32 @@ def _flash_bwd_rule(
     kw = dict(
         scale=scale, causal=causal, left_window=left_window,
         right_window=right_window, block_q=block_q, block_k=block_k,
-        mask_value=DEFAULT_MASK_VALUE,
+        mask_value=DEFAULT_MASK_VALUE, use_segids=use_segids,
     )
-    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h, ki, qi: (b_, h, qi, 0))
+    # dKV grid: (batch, kv_group, kv_block, q_head_in_group × q_block).
+    # The innermost axis walks every query head of the group and every q
+    # block; the scratch accumulates across all of them, so dK/dV come out
+    # per *group* — no [B, Hq, S, d] inflation for GQA/MQA.
+    nqb = t_pad // block_q
+
+    def _h(g_, i):
+        return g_ * ratio + i // nqb
+
+    def _qi(i):
+        return jax.lax.rem(i, nqb)
+
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b_, g_, ki, i: (b_, _h(g_, i), _qi(i), 0)
+    )
     kv_spec = pl.BlockSpec(
-        (1, 1, block_k, d),
-        lambda b_, h, ki, qi, ratio=ratio: (b_, h // ratio, ki, 0),
+        (1, 1, block_k, d), lambda b_, g_, ki, i: (b_, g_, ki, 0)
     )
-    row_spec = pl.BlockSpec((1, 1, 8, block_q), lambda b_, h, ki, qi: (b_, h, 0, qi))
-    valid_spec = pl.BlockSpec((b, block_k), lambda b_, h, ki, qi: (0, ki))
+    row_spec = pl.BlockSpec(
+        (1, 1, 8, block_q), lambda b_, g_, ki, i: (b_, _h(g_, i), 0, _qi(i))
+    )
+    valid_spec = pl.BlockSpec((b, block_k), lambda b_, g_, ki, i: (0, ki))
     dkv_out_spec = pl.BlockSpec(
-        (1, 1, block_k, d), lambda b_, h, ki, qi: (b_, h, ki, 0)
+        (1, 1, block_k, d), lambda b_, g_, ki, i: (b_, g_, ki, 0)
     )
     compiler_params = None
     if not interpret:
@@ -496,15 +543,17 @@ def _flash_bwd_rule(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         )
 
-    dk_full, dv_full = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, **kw),
-        grid=(b, hq, s_pad // block_k, t_pad // block_q),
+    qseg_spec = pl.BlockSpec((b, block_q), lambda b_, g_, ki, i: (0, _qi(i)))
+    kseg_spec = pl.BlockSpec((b, block_k), lambda b_, g_, ki, i: (0, ki))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **dict(kw, ratio=ratio)),
+        grid=(b, g, s_pad // block_k, ratio * nqb),
         in_specs=[q_spec, q_spec, kv_spec, kv_spec, row_spec, row_spec,
-                  valid_spec],
+                  valid_spec, qseg_spec, kseg_spec],
         out_specs=[dkv_out_spec, dkv_out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, s_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, hq, s_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, s_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, s_pad, d), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -512,7 +561,7 @@ def _flash_bwd_rule(
         ],
         compiler_params=compiler_params,
         interpret=interpret,
-    )(qp, dop, kp, vp, lse, di8, validp)
+    )(qp, dop, kp, vp, lse, di8, validp, qsegp, ksegp)
 
     q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0))
     kv_spec2 = pl.BlockSpec(
@@ -521,25 +570,39 @@ def _flash_bwd_rule(
     )
     row_spec2 = pl.BlockSpec((1, 1, 8, block_q), lambda b_, h, qi, ki: (b_, h, 0, qi))
     valid_spec2 = pl.BlockSpec((b, block_k), lambda b_, h, qi, ki: (0, ki))
+    qseg_spec2 = pl.BlockSpec((b, block_q), lambda b_, h, qi, ki: (0, qi))
+    kseg_spec2 = pl.BlockSpec((b, block_k), lambda b_, h, qi, ki: (0, ki))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **kw),
         grid=(b, hq, t_pad // block_q, s_pad // block_k),
         in_specs=[q_spec2, q_spec2, kv_spec2, kv_spec2, row_spec2, row_spec2,
-                  valid_spec2],
+                  valid_spec2, qseg_spec2, kseg_spec2],
         out_specs=q_spec2,
         out_shape=jax.ShapeDtypeStruct((b, hq, t_pad, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=compiler_params,
         interpret=interpret,
-    )(qp, dop, kp, vp, lse, di8, validp)
+    )(qp, dop, kp, vp, lse, di8, validp, qsegp, ksegp)
 
     dq = dq[:, :, :t]
-    dk = dk_full[:, :, :s].reshape(b, g, ratio, s, d).sum(axis=2)
-    dv = dv_full[:, :, :s].reshape(b, g, ratio, s, d).sum(axis=2)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+    dk = dk[:, :, :s]
+    dv = dv[:, :, :s]
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+        None, None, None,
+    )
 
 
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _head_dim_pad_target(d: int) -> int:
+    """Head dims the kernel runs at.  Mosaic accepts a last-dim block equal to
+    the full (unpadded) array dim, but sub-8 remainders relayout poorly; pad
+    odd head dims (66 -> 72) up to the 8-sublane granule.  Zero-padding the
+    head dim is exact: QK^T is unchanged and padded V columns produce zero
+    output columns that are sliced off."""
+    return -(-d // 8) * 8
 
 
 def flash_attention(
@@ -552,13 +615,17 @@ def flash_attention(
     left_window: int = -1,
     right_window: int = -1,
     kv_valid: Optional[jnp.ndarray] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Public API matching ops.dot_product_attention layouts.
 
-    q: [B, T, Hq, D]; k, v: [B, S, G, D]; kv_valid: [B, S] bool (True=valid).
+    q: [B, T, Hq, D]; k, v: [B, S, G, D]; kv_valid: [B, S] bool (True=valid);
+    q_segment_ids [B, T] / kv_segment_ids [B, S] int (packed sequences —
+    tokens attend only within matching segment ids).
     Returns [B, T, Hq, D] in q.dtype.
     """
     b, t, hq, d = q.shape
@@ -567,9 +634,21 @@ def flash_attention(
         raise ValueError(f"num q heads ({hq}) % kv groups ({g}) != 0")
     if kv_valid is None:
         kv_valid = jnp.ones((b, s), dtype=jnp.int32)
+    use_segids = q_segment_ids is not None or kv_segment_ids is not None
+    if q_segment_ids is None:
+        q_segment_ids = jnp.zeros((b, t), dtype=jnp.int32)
+    if kv_segment_ids is None:
+        kv_segment_ids = jnp.zeros((b, s), dtype=jnp.int32)
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
+    d_tgt = _head_dim_pad_target(d)
+    if d_tgt != d:
+        # gradient of the pad is a slice, so padding outside the custom VJP
+        # keeps the backward exact too
+        qt = _pad_to(qt, d_tgt, 3)
+        kt = _pad_to(kt, d_tgt, 3)
+        vt = _pad_to(vt, d_tgt, 3)
     # clamp to the sequence length, then round the clamped block back up to
     # the TPU tile granule (8 sublanes / 128 lanes) — _pad_to absorbs the
     # remainder, and Mosaic rejects off-tile block shapes on hardware
@@ -577,7 +656,10 @@ def flash_attention(
     block_k = -(-min(block_k, max(s, 8)) // NUM_LANES) * NUM_LANES
     out = _flash_attention(
         qt, kt, vt, kv_valid.astype(jnp.int32),
+        q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32),
         float(scale), bool(causal), int(left_window), int(right_window),
-        int(block_q), int(block_k), bool(interpret),
+        int(block_q), int(block_k), bool(interpret), use_segids,
     )
+    if d_tgt != d:
+        out = out[..., :d]
     return jnp.transpose(out, (0, 2, 1, 3))
