@@ -19,6 +19,7 @@ from vats_tpu.nn import (
     l2_normalize,
 )
 from vats_tpu.nn.attention import Attention
+from vats_tpu.nn.moe import MoELayer
 from vats_tpu.ops import dot_product_attention
 
 
@@ -206,6 +207,73 @@ def test_moe_dense_equals_scatter():
     np.testing.assert_allclose(
         np.asarray(out_d), np.asarray(out_s), rtol=1e-4, atol=1e-5
     )
+
+
+def test_moe_sort_equals_dense_lossless():
+    """Sort-based ragged dispatch == dense (exact) when capacity is lossless."""
+    d, f, e, k = 16, 32, 4, 2
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, 5, d))
+    dense = MoEBlock(
+        d_model=d, d_ffn=f, num_experts=e, top_k=k, dropout=0.0,
+        dispatch="dense", dtype=jnp.float32
+    )
+    sort = MoEBlock(
+        d_model=d, d_ffn=f, num_experts=e, top_k=k, dropout=0.0,
+        dispatch="sort", capacity_factor=-1.0, dtype=jnp.float32
+    )
+    params = dense.init(jax.random.PRNGKey(2), x)
+    out_d, _ = dense.apply(params, x)
+    out_s, _ = sort.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_s), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_moe_sort_equals_scatter_with_drops():
+    """At tight capacity, sort and one-hot dispatch drop the SAME tokens
+    (slot-major priority) and produce identical outputs and gradients."""
+    d, f, e, k = 16, 32, 4, 2
+    x = jax.random.normal(jax.random.PRNGKey(22), (3, 11, d))
+
+    def build(mode):
+        return MoEBlock(
+            d_model=d, d_ffn=f, num_experts=e, top_k=k, dropout=0.0,
+            dispatch=mode, capacity_factor=1.0, dtype=jnp.float32
+        )
+
+    scatter, sort = build("scatter"), build("sort")
+    params = scatter.init(jax.random.PRNGKey(4), x)
+
+    def loss(p, mod, xx):
+        out, aux = mod.apply(p, xx, deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(0)})
+        return jnp.sum(out ** 2) + aux
+
+    for mod_a, mod_b in [(scatter, sort)]:
+        la, ga = jax.value_and_grad(loss)(params, mod_a, x)
+        lb, gb = jax.value_and_grad(loss)(params, mod_b, x)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+        flat_a = jax.tree_util.tree_leaves(ga)
+        flat_b = jax.tree_util.tree_leaves(gb)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+
+def test_moe_auto_picks_sort_at_scale():
+    """The auto dispatcher switches to the O(N·k·d) sort path when the
+    one-hot tensors would blow past the HBM budget."""
+    layer = MoELayer(
+        d_model=8, d_ffn=16, num_experts=32, top_k=2,
+        capacity_factor=1.25, dtype=jnp.float32
+    )
+    # tiny n: one-hot fine -> scatter; huge n: must sort
+    small_cap = layer._capacity(64)
+    assert 64 * 2 * 32 * small_cap <= (1 << 24)
+    big_n = 32 * 4096
+    big_cap = layer._capacity(big_n)
+    assert big_n * 2 * 32 * big_cap > (1 << 24)
 
 
 def test_moe_aux_loss_is_cv():

@@ -50,7 +50,7 @@ class ModelArgs:
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
     attention_impl: str = "auto"  # 'auto' | 'xla' | 'flash'
-    moe_dispatch: str = "auto"  # 'auto' | 'dense' | 'scatter'
+    moe_dispatch: str = "auto"  # 'auto' | 'dense' | 'scatter' | 'sort'
     capacity_factor: float = -1.0  # <=0: lossless dispatch
     moe_double_norm: bool = True  # replicate reference double pre-norm
     scan_layers: bool = False  # lax.scan over layers (compile-time win)

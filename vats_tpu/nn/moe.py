@@ -19,6 +19,12 @@ TPU-native design (the reference loops over experts in python with dynamic
   * 'scatter' dispatch: GShard-style static-shape capacity dispatch via
     one-hot einsums; with the expert axis sharded, XLA lowers the dispatch
     and return einsums to all_to_all over ICI
+  * 'sort' dispatch: ragged sort-based dispatch — stable argsort by expert,
+    position-in-expert from exclusive-cumsum'd counts, one scatter into the
+    [E, C, d] buffers and one gather back.  Memory is O(N·k·d), unlike the
+    one-hot dispatch tensors' O(N·k·E·C) — this is the path that scales to
+    the reference large tier (E=32 top-2 at 32k context,
+    /root/reference/configs/transformers/nlp/model_args/model_args_large.py)
   * capacity_factor <= 0 means capacity == num_tokens (lossless, used for
     parity tests); otherwise capacity = ceil(tokens * top_k / E * factor)
     with overflow tokens dropped (their combine weight is zero, the residual
@@ -154,7 +160,7 @@ class MoELayer(nn.Module):
     dropout: float = 0.0
     eps: float = 1e-7
     double_norm: bool = True  # reference applies its own RMSNorm (moe.py:190)
-    dispatch: str = "auto"  # 'dense' | 'scatter' | 'auto'
+    dispatch: str = "auto"  # 'dense' | 'scatter' | 'sort' | 'auto'
     capacity_factor: float = -1.0  # <=0: lossless (capacity == tokens)
     num_layers: int = 1
     dtype: Any = jnp.float32
@@ -188,17 +194,27 @@ class MoELayer(nn.Module):
             param_dtype=self.param_dtype,
         )
 
+        capacity = self._capacity(n)
         mode = self.dispatch
         if mode == "auto":
-            mode = "dense" if self.num_experts <= 2 else "scatter"
+            if self.num_experts <= 2:
+                mode = "dense"
+            else:
+                # The one-hot dispatch tensor is [N*k, E, C]; past ~2^24
+                # elements its HBM cost dwarfs the expert matmuls, so switch
+                # to the O(N*k*d) sort-based path at scale.
+                onehot_elems = n * self.top_k * self.num_experts * capacity
+                mode = "scatter" if onehot_elems <= (1 << 24) else "sort"
 
         if mode == "dense":
             combine = jnp.zeros((n, self.num_experts), dtype=self.dtype)
             combine = self._scatter_combine(combine, indices, weights)
             all_out = experts(jnp.broadcast_to(flat, (self.num_experts, n, d)))
             out = jnp.einsum("ne,end->nd", combine, all_out)
+        elif mode == "sort":
+            out = self._sort_dispatch(flat, weights, indices, experts, capacity)
         else:
-            out = self._scatter_dispatch(flat, weights, indices, experts)
+            out = self._scatter_dispatch(flat, weights, indices, experts, capacity)
 
         out = out.reshape(b, t, d)
         out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
@@ -210,19 +226,73 @@ class MoELayer(nn.Module):
         one_hot = jax.nn.one_hot(indices, combine.shape[-1], dtype=weights.dtype)
         return combine + jnp.einsum("nk,nke->ne", weights, one_hot)
 
-    def _scatter_dispatch(self, flat, weights, indices, experts) -> jnp.ndarray:
+    def _capacity(self, n: int) -> int:
+        e, k = self.num_experts, self.top_k
+        if self.capacity_factor <= 0:
+            return n
+        capacity = min(n, int(math.ceil(n * k / e * self.capacity_factor)))
+        # lane-align capacity for TPU-friendly buffer shapes
+        capacity = max(8, -(-capacity // 8) * 8)
+        return min(capacity, n * k)
+
+    def _sort_dispatch(self, flat, weights, indices, experts, capacity):
+        """Ragged sort-based dispatch: O(N·k·d) memory instead of the one-hot
+        path's O(N·k·E·C) dispatch tensors.
+
+        Same token-priority semantics as ``_scatter_dispatch`` (slot-major:
+        every token's top-1 assignment outranks any token's top-2), so the two
+        paths drop identical tokens at identical capacities — verified by
+        ``tests/test_moe.py``.  Scales to the reference large tier (E=32 top-2
+        at long context, /root/reference/configs/transformers/nlp/
+        model_args/model_args_large.py) where the one-hot tensors would be
+        hundreds of GiB.
+        """
+        n, d = flat.shape
+        e, k = self.num_experts, self.top_k
+        nk = n * k
+
+        # slot-major flattening: priority order identical to the one-hot path
+        expert_ids = indices.transpose(1, 0).reshape(nk)  # [N*k]
+        w_flat = weights.transpose(1, 0).reshape(nk).astype(self.dtype)
+        token_ids = jnp.tile(jnp.arange(n, dtype=jnp.int32), (k,))
+
+        # stable sort groups assignments by expert while preserving slot-major
+        # order inside each group -> rank-within-group == one-hot cumsum pos
+        sort_idx = jnp.argsort(expert_ids, stable=True)  # [N*k]
+        sorted_experts = expert_ids[sort_idx]
+        counts = jnp.bincount(expert_ids, length=e)  # [E]
+        starts = jnp.cumsum(counts) - counts  # exclusive prefix sum
+        pos = jnp.arange(nk, dtype=jnp.int32) - starts[sorted_experts]
+        keep = pos < capacity
+        # overflow assignments land in a trash row that is sliced off before
+        # the expert matmuls and gathered back as zeros
+        dest = jnp.where(keep, sorted_experts * capacity + pos, e * capacity)
+
+        gathered_in = flat[token_ids[sort_idx]].astype(self.dtype)  # [N*k, d]
+        buf = jnp.zeros((e * capacity + 1, d), dtype=self.dtype)
+        buf = buf.at[dest].set(gathered_in, mode="drop")
+        expert_inputs = buf[: e * capacity].reshape(e, capacity, d)
+        expert_inputs = with_logical_constraint(
+            expert_inputs, ("experts", None, "activation_embed")
+        )
+        expert_outputs = experts(expert_inputs)  # [E, C, d]
+        expert_outputs = with_logical_constraint(
+            expert_outputs, ("experts", None, "activation_embed")
+        )
+        flat_out = jnp.concatenate(
+            [
+                expert_outputs.reshape(e * capacity, d),
+                jnp.zeros((1, d), dtype=expert_outputs.dtype),
+            ]
+        )
+        out_sorted = flat_out[dest] * w_flat[sort_idx][:, None]  # [N*k, d]
+        out = jnp.zeros((n, d), dtype=self.dtype)
+        return out.at[token_ids[sort_idx]].add(out_sorted)
+
+    def _scatter_dispatch(self, flat, weights, indices, experts, capacity):
         """GShard-style static capacity dispatch via one-hot einsums."""
         n, d = flat.shape
         e, k = self.num_experts, self.top_k
-        if self.capacity_factor <= 0:
-            capacity = n
-        else:
-            capacity = min(
-                n, int(math.ceil(n * k / e * self.capacity_factor))
-            )
-            # lane-align capacity for TPU-friendly buffer shapes
-            capacity = max(8, -(-capacity // 8) * 8)
-            capacity = min(capacity, n * k)
 
         # [N, k, E] one-hot assignment, slot-0 first in priority order.
         assign = jax.nn.one_hot(indices, e, dtype=jnp.int32)
