@@ -41,7 +41,29 @@ def parse_args():
     p.add_argument("--early-stop-patience", type=int, default=5)
     p.add_argument("--sample-prompt", default="Once upon a time, ")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mesh", default=None,
+                   help="comma-separated mesh axes 'data=2,fsdp=4,tensor=1' — "
+                        "enables sharded training over all (local or global) "
+                        "devices; -1 absorbs the rest (e.g. 'fsdp=-1')")
+    p.add_argument("--multihost", action="store_true",
+                   help="connect this process to a multi-host job first "
+                        "(jax.distributed; autodetects on Cloud TPU, or set "
+                        "COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID). "
+                        "--batch-size is the GLOBAL batch; each host loads "
+                        "only its rows")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (--multihost)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args()
+
+
+def parse_mesh_arg(spec):
+    axes = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        axes[k.strip()] = int(v)
+    return axes
 
 
 def main():
@@ -122,18 +144,69 @@ def main():
             return val_ds.batches(args.batch_size, epochs=1, shuffle=False)
 
     est_steps = max(1, args.max_train_tokens // (args.batch_size * seq_len))
-    tx = create_optimizer(training_args, est_steps)
-    state = create_train_state(
-        model, tx, jax.random.PRNGKey(args.seed),
-        jnp.zeros((args.batch_size, seq_len), jnp.int32),
-    )
+
+    mesh = None
+    if args.multihost or args.mesh:
+        # sharded training over a device mesh (optionally spanning hosts):
+        # jax.distributed wiring + host-sharded data feeding
+        if args.multihost:
+            from vats_tpu.parallel.multihost import initialize_multihost
+
+            initialize_multihost(
+                args.coordinator, args.num_processes, args.process_id
+            )
+            logger.info(
+                "multihost: process %d/%d, %d global devices",
+                jax.process_index(), jax.process_count(), len(jax.devices()),
+            )
+        from vats_tpu.parallel import create_mesh
+        from vats_tpu.parallel.multihost import (
+            host_shard_slice,
+            make_global_batch,
+        )
+        from vats_tpu.parallel.sharded import make_sharded_train
+
+        axes = parse_mesh_arg(args.mesh) if args.mesh else {"fsdp": -1}
+        mesh = create_mesh(**axes)
+        logger.info("mesh: %s", dict(mesh.shape))
+
+        def distribute(it):
+            import numpy as np
+
+            sl = host_shard_slice(args.batch_size)
+            for b in it:
+                local = {k: np.asarray(v)[sl] for k, v in b.items()}
+                yield make_global_batch(local, mesh)
+
+        import itertools
+
+        train_iter = distribute(train_iter)
+        sample = next(train_iter)
+        train_iter = itertools.chain([sample], train_iter)
+        init_fn, step_fn, state_shardings = make_sharded_train(
+            model, training_args, mesh, sample, num_training_steps=est_steps
+        )
+        state = init_fn(jax.random.PRNGKey(args.seed))
+        _val_iter = val_iter
+
+        def val_iter():
+            return distribute(_val_iter())
+
+    else:
+        tx = create_optimizer(training_args, est_steps)
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(args.seed),
+            jnp.zeros((args.batch_size, seq_len), jnp.int32),
+        )
+        step_fn = make_train_step(model, training_args)
     if args.resume:
         from vats_tpu.checkpoint import load_checkpoint
 
         restored, _ = load_checkpoint(args.resume, target=jax.device_get(state))
         state = restored.replace(apply_fn=model.apply)
+        if mesh is not None:
+            state = jax.device_put(state, state_shardings)
         logger.info("resumed state: tokens_seen=%d", int(state.tokens_seen))
-    step_fn = make_train_step(model, training_args)
     ckpt = CheckpointManager(args.ckpt_dir, model_args=model_args,
                              training_args=training_args)
 

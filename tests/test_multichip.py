@@ -67,6 +67,61 @@ def test_sharded_loss_matches_single_device():
     )
 
 
+def _sp_parity(context_parallel: str):
+    """Sequence-parallel (seq=2) sharded loss == single-device loss, with a
+    ragged padding mask so the kv_valid path is exercised."""
+    import numpy as np
+
+    from vats_tpu.configs import ModelArgs, TrainingArgs
+    from vats_tpu.data import synthetic_lm_batches
+    from vats_tpu.models import TextLM
+    from vats_tpu.parallel import create_mesh
+    from vats_tpu.parallel.sharded import make_sharded_train
+    from vats_tpu.train import create_optimizer, create_train_state
+    from vats_tpu.train.loop import make_train_step_fn
+
+    cfg = ModelArgs(
+        d_model=64, num_heads=4, query_groups=2, d_ffn=128, num_layers=2,
+        dropout=0.0, vocab_size=128, max_seq_len=64, left_window=-1,
+        num_experts=4, top_k=2, moe_dispatch="sort", capacity_factor=-1.0,
+        dtype="float32", gradient_checkpointing=False, use_mqa=False,
+        context_parallel=context_parallel,
+    )
+    model = TextLM(cfg)
+    targs = TrainingArgs(grad_accum_steps=1)
+    batch = next(
+        synthetic_lm_batches(
+            jax.random.PRNGKey(0), vocab_size=cfg.vocab_size,
+            batch_size=8, seq_len=32, num_batches=1, pad_fraction=0.3,
+        )
+    )
+
+    mesh = create_mesh(data=2, fsdp=2, expert=1, tensor=1, seq=2)
+    init_fn, step_fn, _ = make_sharded_train(
+        model, targs, mesh, batch, num_training_steps=10
+    )
+    state_sharded = init_fn(jax.random.PRNGKey(1))
+    _, m_sharded = step_fn(state_sharded, batch, jax.random.PRNGKey(2))
+
+    tx = create_optimizer(targs, 10)
+    state_single = create_train_state(
+        model, tx, jax.random.PRNGKey(1), batch["input_ids"]
+    )
+    raw_step = make_train_step_fn(model, targs)
+    _, m_single = jax.jit(raw_step)(state_single, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        float(m_sharded["loss"]), float(m_single["loss"]), rtol=1e-4
+    )
+
+
+def test_seq_parallel_ring_loss_parity():
+    _sp_parity("ring")
+
+
+def test_seq_parallel_ulysses_loss_parity():
+    _sp_parity("ulysses")
+
+
 def test_sharded_checkpoint_resume(tmp_path):
     """Save a sharded TrainState, restore it, continue training on the mesh."""
     import numpy as np

@@ -50,6 +50,9 @@ class ModelArgs:
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
     attention_impl: str = "auto"  # 'auto' | 'xla' | 'flash'
+    # sequence/context parallelism over the mesh 'seq' axis (training /
+    # uncached forwards): 'none' | 'ring' | 'ulysses'
+    context_parallel: str = "none"
     moe_dispatch: str = "auto"  # 'auto' | 'dense' | 'scatter' | 'sort'
     capacity_factor: float = -1.0  # <=0: lossless dispatch
     moe_double_norm: bool = True  # replicate reference double pre-norm

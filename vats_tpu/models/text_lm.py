@@ -78,6 +78,7 @@ class TransformerBlock(nn.Module):
             eps=cfg.rms_norm_eps,
             num_layers=cfg.num_layers,
             impl=cfg.attention_impl,
+            context_parallel=getattr(cfg, "context_parallel", "none"),
             dtype=dtype,
             param_dtype=param_dtype,
             name="attn_block",

@@ -77,6 +77,11 @@ class Attention(nn.Module):
     #   '3d_spatial' / '3d_temporal' / '3d_all' (ViT-3D, video-gen), 'none'
     rope_type: str = "1d"
     rope_ntk_scale: Optional[float] = None
+    # sequence/context parallelism over the mesh 'seq' axis for uncached
+    # forwards: 'none' | 'ring' (ppermute KV rotation) | 'ulysses'
+    # (all_to_all head/seq exchange).  Engaged only when running under a mesh
+    # whose 'seq' axis is >1; single-chip behavior is unchanged.
+    context_parallel: str = "none"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -225,8 +230,14 @@ class Attention(nn.Module):
             positions = jnp.arange(t)
             q = self._apply_rope(q, positions, grid_shape, rope_angles)
             k = self._apply_rope(k, positions, grid_shape, rope_angles)
+            cp_out = self._maybe_context_parallel(
+                q, k, v, scale, causal, left_window, right_window,
+                padding_mask, segment_ids,
+            )
             impl = select_attention_impl(self.impl, head_dim=self.head_dim)
-            if impl in ("flash", "flash_interpret"):
+            if cp_out is not None:
+                out = cp_out
+            elif impl in ("flash", "flash_interpret"):
                 from vats_tpu.ops.flash_attention import flash_attention
 
                 out = flash_attention(
@@ -298,6 +309,48 @@ class Attention(nn.Module):
             out, ("activation_batch", "activation_seq", "activation_embed")
         )
         return self.w_o(out), new_cache
+
+    def _maybe_context_parallel(
+        self, q, k, v, scale, causal, left_window, right_window,
+        padding_mask, segment_ids,
+    ):
+        """Route uncached attention through ring/Ulysses sequence parallelism
+        when configured AND running under a mesh with seq > 1.  Returns the
+        [B, T, Hq, hd]-shaped output reshaped later by the caller, or None to
+        fall through to the single-chip impls.  Packed sequences
+        (segment_ids) stay on the local path — per-segment masking does not
+        rotate with KV blocks."""
+        if self.context_parallel == "none" or segment_ids is not None:
+            return None
+        from vats_tpu.parallel import ambient_mesh
+
+        mesh = ambient_mesh()
+        if mesh is None or mesh.shape.get("seq", 1) <= 1:
+            return None
+        if q.shape[1] % mesh.shape["seq"] != 0:
+            return None  # sequence not divisible by seq shards (e.g. decode)
+        kv_valid = None
+        if padding_mask is not None:
+            kv_valid = padding_mask.astype(bool)
+        if self.context_parallel == "ring":
+            from vats_tpu.ops.ring_attention import ring_attention
+
+            return ring_attention(
+                q, k, v, mesh=mesh, scale=scale, causal=causal,
+                left_window=left_window, right_window=right_window,
+                kv_valid=kv_valid,
+            )
+        if self.context_parallel == "ulysses":
+            from vats_tpu.ops.ulysses import ulysses_attention
+
+            return ulysses_attention(
+                q, k, v, mesh=mesh, scale=scale, causal=causal,
+                left_window=left_window, right_window=right_window,
+                kv_valid=kv_valid,
+            )
+        raise ValueError(
+            f"unknown context_parallel mode: {self.context_parallel}"
+        )
 
     def _paged_attention(
         self, q, k, v, paged_cache, layer_idx, padding_mask, scale,
@@ -412,6 +465,7 @@ class AttentionBlock(nn.Module):
     impl: str = "auto"
     rope_type: str = "1d"
     rope_ntk_scale: Optional[float] = None
+    context_parallel: str = "none"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -447,6 +501,7 @@ class AttentionBlock(nn.Module):
             impl=self.impl,
             rope_type=self.rope_type,
             rope_ntk_scale=self.rope_ntk_scale,
+            context_parallel=self.context_parallel,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(

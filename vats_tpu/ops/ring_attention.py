@@ -33,10 +33,11 @@ from vats_tpu.ops.attention_xla import DEFAULT_MASK_VALUE
 
 
 def _block_attention_stats(q, k, v, scale, q_pos, k_pos, causal, left_window,
-                           right_window):
+                           right_window, kv_valid=None):
     """Partial attention of q against one KV block -> (scores_exp@V, m, l).
 
-    q: [B, Tq, G, N, hd] fp32; k/v: [B, Tk, G, hd] fp32.
+    q: [B, Tq, G, N, hd] fp32; k/v: [B, Tk, G, hd] fp32; kv_valid: optional
+    [B, Tk] bool (True = real token) for this block.
     Returns (o_partial [B, Tq, G, N, hd], m [B, G, N, Tq, 1], l like m).
     """
     s = jnp.einsum("btgnd,bsgd->bgnts", q, k) * scale  # [B,G,N,Tq,Tk]
@@ -49,10 +50,13 @@ def _block_attention_stats(q, k, v, scale, q_pos, k_pos, causal, left_window,
         mask &= (kp - qp) <= right_window
     if left_window >= 0:
         mask &= (qp - kp) <= left_window
-    s = jnp.where(mask[None, None, None], s, DEFAULT_MASK_VALUE)
+    mask = mask[None, None, None]  # [1,1,1,Tq,Tk]
+    if kv_valid is not None:
+        mask = mask & kv_valid[:, None, None, None, :]  # [B,1,1,Tq,Tk]
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = jnp.where(mask[None, None, None], p, 0.0)
+    p = jnp.where(mask, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.einsum("bgnts,bsgd->btgnd", p, v)
     return o, m, l
@@ -68,13 +72,16 @@ def ring_attention(
     causal: bool = True,
     left_window: int = -1,
     right_window: int = -1,
+    kv_valid: Optional[jnp.ndarray] = None,
     axis_name: str = "seq",
     batch_axes: tuple = ("data", "fsdp"),
 ) -> jnp.ndarray:
     """Context-parallel attention.
 
     q: [B, T, Hq, hd]; k/v: [B, T, G, hd], all sharded on T over
-    ``axis_name`` (and on B over ``batch_axes``).  Returns [B, T, Hq, hd]
+    ``axis_name`` (and on B over ``batch_axes``).  kv_valid: optional [B, T]
+    bool padding mask (True = real token), sharded like k on T — the validity
+    shard rotates around the ring with its KV block.  Returns [B, T, Hq, hd]
     with the same sharding.
     """
     n_seq = mesh.shape[axis_name]
@@ -82,8 +89,10 @@ def ring_attention(
     g = k.shape[2]
     n = hq // g
     t_local = t // n_seq
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, t), dtype=bool)
 
-    def local_fn(q_l, k_l, v_l):
+    def local_fn(q_l, k_l, v_l, valid_l):
         idx = jax.lax.axis_index(axis_name)
         qf = q_l.astype(jnp.float32).reshape(b_local(q_l), t_local, g, n, hd)
         q_pos = idx * t_local + jnp.arange(t_local)
@@ -94,14 +103,15 @@ def ring_attention(
 
         k_blk = k_l.astype(jnp.float32)
         v_blk = v_l.astype(jnp.float32)
+        valid_blk = valid_l
 
         def step(i, carry):
-            m_acc, l_acc, o_acc, k_blk, v_blk = carry
+            m_acc, l_acc, o_acc, k_blk, v_blk, valid_blk = carry
             src = (idx - i) % n_seq  # which shard this block came from
             k_pos = src * t_local + jnp.arange(t_local)
             o_p, m_p, l_p = _block_attention_stats(
                 qf, k_blk, v_blk, scale, q_pos, k_pos,
-                causal, left_window, right_window,
+                causal, left_window, right_window, kv_valid=valid_blk,
             )
             m_new = jnp.maximum(m_acc, m_p)
             alpha = jnp.exp(m_acc - m_new)
@@ -112,14 +122,15 @@ def ring_attention(
             alpha_o = jnp.transpose(alpha, (0, 3, 1, 2, 4))
             beta_o = jnp.transpose(beta, (0, 3, 1, 2, 4))
             o_new = o_acc * alpha_o + o_p * beta_o
-            # rotate KV to the next device (skip after the last compute)
+            # rotate KV (and its validity) to the next device
             perm = [(d, (d + 1) % n_seq) for d in range(n_seq)]
             k_nxt = jax.lax.ppermute(k_blk, axis_name, perm)
             v_nxt = jax.lax.ppermute(v_blk, axis_name, perm)
-            return m_new, l_new, o_new, k_nxt, v_nxt
+            valid_nxt = jax.lax.ppermute(valid_blk, axis_name, perm)
+            return m_new, l_new, o_new, k_nxt, v_nxt, valid_nxt
 
-        m_acc, l_acc, o_acc, _, _ = jax.lax.fori_loop(
-            0, n_seq, step, (m_acc, l_acc, o_acc, k_blk, v_blk)
+        m_acc, l_acc, o_acc, _, _, _ = jax.lax.fori_loop(
+            0, n_seq, step, (m_acc, l_acc, o_acc, k_blk, v_blk, valid_blk)
         )
         l_o = jnp.transpose(l_acc, (0, 3, 1, 2, 4))
         out = o_acc / jnp.maximum(l_o, 1e-30)
@@ -130,14 +141,15 @@ def ring_attention(
 
     bspec = batch_axes if any(mesh.shape.get(a, 1) > 1 for a in batch_axes) else None
     qspec = P(bspec, axis_name, None, None)
+    mspec = P(bspec, axis_name)
     try:  # jax >= 0.8 renamed check_rep -> check_vma
         mapped = shard_map(
-            local_fn, mesh=mesh, in_specs=(qspec, qspec, qspec),
+            local_fn, mesh=mesh, in_specs=(qspec, qspec, qspec, mspec),
             out_specs=qspec, check_vma=False,
         )
     except TypeError:
         mapped = shard_map(
-            local_fn, mesh=mesh, in_specs=(qspec, qspec, qspec),
+            local_fn, mesh=mesh, in_specs=(qspec, qspec, qspec, mspec),
             out_specs=qspec, check_rep=False,
         )
-    return mapped(q, k, v)
+    return mapped(q, k, v, kv_valid)

@@ -37,12 +37,15 @@ def ulysses_attention(
     causal: bool = True,
     left_window: int = -1,
     right_window: int = -1,
+    kv_valid: Optional[jnp.ndarray] = None,
     axis_name: str = "seq",
     batch_axes: tuple = ("data", "fsdp"),
 ) -> jnp.ndarray:
     """q: [B, T, Hq, hd]; k/v: [B, T, G, hd], sequence-sharded on T.
 
-    Returns [B, T, Hq, hd] with the same sharding.
+    kv_valid: optional [B, T] bool padding mask (True = real), sharded like k
+    on T; it is all-gathered inside so every head shard masks the full
+    sequence.  Returns [B, T, Hq, hd] with the same sharding.
     """
     n = mesh.shape[axis_name]
     hq, g = q.shape[2], k.shape[2]
@@ -52,7 +55,7 @@ def ulysses_attention(
             f"shards={n} (use ring_attention otherwise)"
         )
 
-    def local_fn(q_l, k_l, v_l):
+    def local_fn(q_l, k_l, v_l, valid_l):
         # [B, T/n, H, hd] -> all_to_all -> [B, T, H/n, hd]
         def seq_to_head(x):
             return jax.lax.all_to_all(
@@ -67,25 +70,32 @@ def ulysses_attention(
         qh = seq_to_head(q_l)
         kh = seq_to_head(k_l)
         vh = seq_to_head(v_l)
+        valid_full = jax.lax.all_gather(
+            valid_l, axis_name, axis=1, tiled=True
+        )  # [B, T]
         out = dot_product_attention(
             qh, kh, vh,
             scale=scale,
             causal=causal,
             left_window=left_window,
             right_window=right_window,
+            kv_valid=valid_full,
         )
         return head_to_seq(out)
 
+    if kv_valid is None:
+        kv_valid = jnp.ones(q.shape[:2], dtype=bool)
     bspec = batch_axes if any(mesh.shape.get(a, 1) > 1 for a in batch_axes) else None
     spec = P(bspec, axis_name, None, None)
+    mspec = P(bspec, axis_name)
     try:
         mapped = shard_map(
-            local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-            check_vma=False,
+            local_fn, mesh=mesh, in_specs=(spec, spec, spec, mspec),
+            out_specs=spec, check_vma=False,
         )
     except TypeError:  # pragma: no cover - older jax kwarg name
         mapped = shard_map(
-            local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-            check_rep=False,
+            local_fn, mesh=mesh, in_specs=(spec, spec, spec, mspec),
+            out_specs=spec, check_rep=False,
         )
-    return mapped(q, k, v)
+    return mapped(q, k, v, kv_valid)

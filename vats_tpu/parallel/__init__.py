@@ -1,5 +1,6 @@
 from vats_tpu.parallel.mesh import (
     MESH_AXES,
+    ambient_mesh,
     create_mesh,
     create_device_mesh,
     logical_axis_rules,
@@ -9,6 +10,7 @@ from vats_tpu.parallel.mesh import (
 
 __all__ = [
     "MESH_AXES",
+    "ambient_mesh",
     "create_mesh",
     "create_device_mesh",
     "logical_axis_rules",

@@ -167,6 +167,28 @@ def logical_to_mesh_spec(
     return PartitionSpec(*spec)
 
 
+def ambient_mesh() -> Optional[Mesh]:
+    """The Mesh of the enclosing ``with mesh:`` context, or None.
+
+    Lets model code route through shard_map-based ops (ring/Ulysses
+    attention) only when actually running under a mesh with the relevant
+    axis — the identical model code stays single-chip-portable."""
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        m = _mesh_lib.thread_resources.env.physical_mesh
+    except Exception:  # pragma: no cover - private-API move
+        try:
+            from jax.interpreters import pxla
+
+            m = pxla.thread_resources.env.physical_mesh
+        except Exception:
+            return None
+    if m is not None and not m.empty:
+        return m
+    return None
+
+
 def with_logical_constraint(x, logical_axes: Sequence[Optional[str]]):
     """Apply a logical sharding constraint to an activation inside jit.
 

@@ -51,9 +51,25 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     )
 
 
-def choose_mesh_shape(n_devices: int) -> Dict[str, int]:
+def choose_mesh_shape(
+    n_devices: int, *, context_parallel: bool = False
+) -> Dict[str, int]:
     """A sensible default factorization of n devices over the 5 mesh axes,
-    exercising dp/fsdp/ep/tp when enough devices exist."""
+    exercising dp/fsdp/ep/tp when enough devices exist.  With
+    ``context_parallel`` the ``seq`` axis gets 2 shards (for models routing
+    attention through ring/Ulysses, configs' ``context_parallel`` field)."""
+    if context_parallel:
+        if n_devices >= 8 and n_devices % 8 == 0:
+            return dict(
+                data=n_devices // 8, fsdp=2, expert=1, tensor=2, seq=2
+            )
+        if n_devices == 4:
+            return dict(data=1, fsdp=2, expert=1, tensor=1, seq=2)
+        if n_devices == 2:
+            return dict(data=1, fsdp=1, expert=1, tensor=1, seq=2)
+        raise ValueError(
+            f"context-parallel mesh needs an even device count, got {n_devices}"
+        )
     if n_devices >= 8 and n_devices % 8 == 0:
         return dict(
             data=n_devices // 8, fsdp=2, expert=2, tensor=2, seq=1
