@@ -32,12 +32,13 @@ def test_paged_cache_append_and_layout():
     assert int(cache.lengths[0]) == 2
     # pool's physical head dim is 128-lane padded; logical slice is [:hd]
     assert cache.k_pages.shape[-1] == 128 and cache.head_dim == hd
-    # sequence 0 owns page 0; tokens at offsets 0,1
+    # layout [L, P, G, ps, hd_phys]; sequence 0 owns page 0, tokens at
+    # offsets 0,1
     np.testing.assert_allclose(np.asarray(cache.k_pages[0, 0, 0, 0, :hd]), 1.0)
     np.testing.assert_allclose(np.asarray(cache.k_pages[0, 0, 0, 0, hd:]), 0.0)
     np.testing.assert_allclose(np.asarray(cache.k_pages[0, 0, 0, 1, :hd]), 3.0)
     # sequence 1 owns page 4 (pages_per_seq = 4)
-    np.testing.assert_allclose(np.asarray(cache.k_pages[0, 0, 4, 1, :hd]), 3.0)
+    np.testing.assert_allclose(np.asarray(cache.k_pages[0, 4, 0, 1, :hd]), 3.0)
 
 
 @pytest.mark.parametrize("lengths", [[16, 16], [13, 5], [1, 9]])

@@ -90,23 +90,34 @@ def setup_data_loaders(
         if not os.path.isdir(d):
             raise FileNotFoundError(f"dataset directory not found: {d}")
 
+    # full reference battery (setup_data.py:25-39); normalize+erase happen
+    # here so wrap() must not re-normalize train batches
     train_tf = transforms.Compose(
         [
-            transforms.RandomResizedCrop(image_size),
-            transforms.RandomHorizontalFlip(),
-            transforms.ColorJitter(0.4, 0.4, 0.4),
+            transforms.RandomResizedCrop(image_size, scale=(0.2, 1.0)),
+            transforms.RandomHorizontalFlip(p=0.5),
+            transforms.ColorJitter(0.4, 0.4, 0.4, hue=0.1),
+            transforms.RandomRotation(degrees=15),
+            transforms.AutoAugment(transforms.AutoAugmentPolicy.IMAGENET),
             transforms.ToTensor(),
+            transforms.Normalize(mean=tuple(IMAGENET_MEAN),
+                                 std=tuple(IMAGENET_STD)),
+            transforms.RandomErasing(p=0.4, scale=(0.02, 0.33),
+                                     ratio=(0.3, 3.3)),
         ]
     )
     val_tf = transforms.Compose(
-        [transforms.Resize(image_size), transforms.CenterCrop(image_size),
-         transforms.ToTensor()]
+        [transforms.Resize(int(image_size * 1.14)),
+         transforms.CenterCrop(image_size),
+         transforms.ToTensor(),
+         transforms.Normalize(mean=tuple(IMAGENET_MEAN),
+                              std=tuple(IMAGENET_STD))]
     )
 
     def wrap(loader):
         for images, labels in loader:
             yield {
-                "images": normalize_images(images.numpy()),
+                "images": images.numpy(),
                 "labels": labels.numpy().astype(np.int32),
             }
 
@@ -130,32 +141,88 @@ def setup_video_loaders(
     clips_dir: str,
     batch_size: int,
     *,
+    num_frames: Optional[int] = None,
+    image_size: Optional[int] = None,
+    stride: int = 1,
     shuffle: bool = True,
     seed: int = 0,
     epochs: Optional[int] = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Video clip loader (the reference's is a ``pass`` stub).
+    """Video clip loader with a real decode path (the reference's is a
+    ``pass`` stub).
 
-    Expects a directory of ``<name>_<label>.npy`` clips shaped
-    [C, T, H, W]; clips in a batch must share shapes (bucket upstream).
+    Two dataset layouts:
+
+      * class directories — ``<root>/<class>/<video>`` where each video is
+        an ``.avi`` (MJPEG), ``.y4m``, ``.npy`` clip or a directory of
+        per-frame images (see :mod:`vats_tpu.data.video_decode`); labels are
+        the sorted class-directory indices.  Requires ``num_frames`` and
+        ``image_size`` (clips are temporally sampled + centred/cropped to a
+        common shape).
+      * flat legacy — ``<name>_<label>.npy`` clips shaped [C, T, H, W];
+        clips in a batch must share shapes (bucket upstream).
     """
-    files = sorted(f for f in os.listdir(clips_dir) if f.endswith(".npy"))
-    if not files:
-        raise FileNotFoundError(f"no .npy clips in {clips_dir}")
+    entries = sorted(os.listdir(clips_dir))
+    class_dirs = [
+        e for e in entries if os.path.isdir(os.path.join(clips_dir, e))
+    ]
     rng = np.random.RandomState(seed)
-    epoch = 0
-    while epochs is None or epoch < epochs:
-        order = rng.permutation(len(files)) if shuffle else np.arange(len(files))
-        for start in range(0, len(order), batch_size):
-            idx = order[start : start + batch_size]
-            if len(idx) < batch_size:
-                break
+
+    if class_dirs:
+        from vats_tpu.data.video_decode import load_clip
+
+        if num_frames is None or image_size is None:
+            raise ValueError(
+                "class-directory video datasets need num_frames + image_size"
+            )
+        sources: list = []  # (path, label)
+        for label, cls in enumerate(class_dirs):
+            cdir = os.path.join(clips_dir, cls)
+            for name in sorted(os.listdir(cdir)):
+                sources.append((os.path.join(cdir, name), label))
+        if not sources:
+            raise FileNotFoundError(f"no videos under {clips_dir}")
+
+        def make_batch(idx):
+            clips = [
+                load_clip(
+                    sources[int(i)][0],
+                    num_frames=num_frames,
+                    image_size=image_size,
+                    stride=stride,
+                    random_sample=shuffle,
+                    rng=rng,
+                )
+                for i in idx
+            ]
+            labels = [sources[int(i)][1] for i in idx]
+            return clips, labels
+
+        n = len(sources)
+    else:
+        files = [f for f in entries if f.endswith(".npy")]
+        if not files:
+            raise FileNotFoundError(f"no .npy clips in {clips_dir}")
+
+        def make_batch(idx):
             clips, labels = [], []
             for i in idx:
                 name = files[int(i)]
                 clips.append(np.load(os.path.join(clips_dir, name)))
                 stem = os.path.splitext(name)[0]
                 labels.append(int(stem.rsplit("_", 1)[-1]))
+            return clips, labels
+
+        n = len(files)
+
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for start in range(0, len(order), batch_size):
+            idx = order[start : start + batch_size]
+            if len(idx) < batch_size:
+                break
+            clips, labels = make_batch(idx)
             yield {
                 "videos": np.stack(clips).astype(np.float32),
                 "labels": np.asarray(labels, dtype=np.int32),

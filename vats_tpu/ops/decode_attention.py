@@ -6,14 +6,15 @@ re-concatenates python-side tensors every step) and the TPU counterpart of
 flash-attn's decode path the reference never had:
 
   * :class:`PagedKVCache` — K/V stored in fixed-size pages scattered across
-    HBM ([layers, kv_heads, num_pages, page_size, head_dim]); a per-sequence
-    page table maps logical positions to physical pages, so sequences of
-    different lengths share one physical pool (vLLM-style paged allocation)
+    HBM ([layers, num_pages, kv_heads, page_size, head_dim]; a page carries
+    all kv groups so one DMA moves G*ps*hd bytes); a per-sequence page table
+    maps logical positions to physical pages, so sequences of different
+    lengths share one physical pool (vLLM-style paged allocation)
   * :func:`paged_decode_attention` — one query token per sequence attends its
-    whole paged history: grid (batch, kv_head), page table + lengths as
-    scalar-prefetch (pages are DMA'd HBM->VMEM with double buffering),
-    online softmax in fp32, GQA folded (all N = Hq/G query heads of a group
-    computed per grid cell against the group's single KV stream)
+    whole paged history: grid (batch,), page table + lengths as
+    scalar-prefetch (pages are DMA'd HBM->VMEM in double-buffered windowed
+    chunks), online softmax in fp32, GQA folded (all Hq = G*N query heads
+    computed per grid cell as G-batched matmuls against the paged KV stream)
   * an XLA reference implementation (``paged_decode_attention_xla``) used as
     the numerics oracle and CPU fallback.
 """
@@ -51,10 +52,15 @@ def _pad_head_dim(head_dim: int) -> int:
 
 @struct.dataclass
 class PagedKVCache:
-    """Paged K/V pool shared by all sequences in the batch."""
+    """Paged K/V pool shared by all sequences in the batch.
 
-    k_pages: jnp.ndarray  # [L, G, num_pages, page_size, hd_phys]
-    v_pages: jnp.ndarray  # [L, G, num_pages, page_size, hd_phys]
+    A page holds ``page_size`` tokens for ALL kv groups ([G, ps, hd_phys]) —
+    one DMA per (sequence, page) moves the whole group block (G x ps x hd),
+    8x fewer and 8x larger copies than a per-(group, page) layout, which
+    measured DMA-latency-bound at the 4.2B serving tier."""
+
+    k_pages: jnp.ndarray  # [L, num_pages, G, page_size, hd_phys]
+    v_pages: jnp.ndarray  # [L, num_pages, G, page_size, hd_phys]
     page_table: jnp.ndarray  # [B, pages_per_seq] physical page ids
     lengths: jnp.ndarray  # [B] valid tokens per sequence
     head_dim: int = struct.field(pytree_node=False, default=0)  # logical hd
@@ -74,7 +80,7 @@ class PagedKVCache:
         pages_per_seq = -(-max_seq_len // page_size)
         num_pages = batch_size * pages_per_seq
         shape = (
-            num_layers, kv_heads, num_pages, page_size, _pad_head_dim(head_dim)
+            num_layers, num_pages, kv_heads, page_size, _pad_head_dim(head_dim)
         )
         # identity allocation: sequence b owns pages [b*pps, (b+1)*pps);
         # a serving allocator can permute the table freely
@@ -89,6 +95,10 @@ class PagedKVCache:
             lengths=jnp.zeros((batch_size,), dtype=jnp.int32),
             head_dim=head_dim,
         )
+
+    @property
+    def kv_heads(self) -> int:
+        return self.k_pages.shape[2]
 
     @property
     def page_size(self) -> int:
@@ -122,12 +132,12 @@ class PagedKVCache:
         phys = jnp.take_along_axis(
             self.page_table, logical_page[:, None], axis=1
         )[:, 0]  # [B]
-        # the int layer index + (phys, offset) arrays are non-adjacent
-        # advanced indices, so the broadcast result leads: [B, G, hd]
-        k_pages = self.k_pages.at[layer_idx, :, phys, offset].set(
+        # advanced indices (phys [B], offset [B]) around the sliced G axis are
+        # non-adjacent, so the broadcast result leads: [B, G, hd]
+        k_pages = self.k_pages.at[layer_idx, phys, :, offset].set(
             k_new.astype(self.k_pages.dtype)
         )
-        v_pages = self.v_pages.at[layer_idx, :, phys, offset].set(
+        v_pages = self.v_pages.at[layer_idx, phys, :, offset].set(
             v_new.astype(self.v_pages.dtype)
         )
         return self.replace(k_pages=k_pages, v_pages=v_pages)
@@ -144,10 +154,10 @@ class PagedKVCache:
         logical_page = pos // ps
         offset = pos % ps
         phys = jnp.take_along_axis(self.page_table, logical_page, axis=1)  # [B, T]
-        k_pages = self.k_pages.at[layer_idx, :, phys, offset].set(
+        k_pages = self.k_pages.at[layer_idx, phys, :, offset].set(
             k_new.astype(self.k_pages.dtype)
         )
-        v_pages = self.v_pages.at[layer_idx, :, phys, offset].set(
+        v_pages = self.v_pages.at[layer_idx, phys, :, offset].set(
             v_new.astype(self.v_pages.dtype)
         )
         return self.replace(k_pages=k_pages, v_pages=v_pages)
@@ -156,12 +166,12 @@ class PagedKVCache:
         """Materialize a layer's pages as dense [B, S, G, hd] buffers
         (logical head dim; prefill-time convenience — decode uses the paged
         kernel)."""
-        k = self.k_pages[layer_idx][:, self.page_table]  # [G, B, pps, ps, hdp]
-        v = self.v_pages[layer_idx][:, self.page_table]
-        g, b, pps, ps, hdp = k.shape
+        k = self.k_pages[layer_idx][self.page_table]  # [B, pps, G, ps, hdp]
+        v = self.v_pages[layer_idx][self.page_table]
+        b, pps, g, ps, hdp = k.shape
         hd = self.head_dim or hdp
-        k = k.transpose(1, 2, 3, 0, 4).reshape(b, pps * ps, g, hdp)[..., :hd]
-        v = v.transpose(1, 2, 3, 0, 4).reshape(b, pps * ps, g, hdp)[..., :hd]
+        k = k.transpose(0, 1, 3, 2, 4).reshape(b, pps * ps, g, hdp)[..., :hd]
+        v = v.transpose(0, 1, 3, 2, 4).reshape(b, pps * ps, g, hdp)[..., :hd]
         return k, v
 
     def advance(self, n: int = 1) -> "PagedKVCache":
@@ -181,19 +191,19 @@ def paged_decode_attention_xla(
     *,
     scale: float,
 ) -> jnp.ndarray:
-    """Oracle: q [B, Hq, hd]; k/v_pages [G, P, ps, hd_phys] (one layer;
+    """Oracle: q [B, Hq, hd]; k/v_pages [P, G, ps, hd_phys] (one layer;
     hd_phys may be 128-padded — the pad lanes are zero and are sliced off).
 
     Gathers each sequence's pages and runs masked attention in fp32."""
     b, hq, hd = q.shape
-    g, _, ps, hd_phys = k_pages.shape
+    _, g, ps, hd_phys = k_pages.shape
     n = hq // g
     pps = page_table.shape[1]
-    # [B, G, pps, ps, hd_phys] -> [B, G, S, hd]
-    k_seq = k_pages[:, page_table].transpose(1, 0, 2, 3, 4).reshape(
+    # [B, pps, G, ps, hd_phys] -> [B, G, S, hd]
+    k_seq = k_pages[page_table].transpose(0, 2, 1, 3, 4).reshape(
         b, g, pps * ps, hd_phys
     )[..., :hd]
-    v_seq = v_pages[:, page_table].transpose(1, 0, 2, 3, 4).reshape(
+    v_seq = v_pages[page_table].transpose(0, 2, 1, 3, 4).reshape(
         b, g, pps * ps, hd_phys
     )[..., :hd]
     qf = q.reshape(b, g, n, hd).astype(jnp.float32)
@@ -229,42 +239,47 @@ def _decode_kernel(
     window: int,
     mask_value: float,
 ):
-    """Chunked, double-buffered paged decode.
+    """Chunked, double-buffered paged decode over grouped pages.
 
-    The naive page-at-a-time start->wait loop is DMA-latency-bound (one
-    4 KB copy in flight per grid cell; measured 6x slower than the dense
-    XLA path at the 4.2B bench tier).  Here each chunk issues ``window``
-    page copies at once (they pipeline in the DMA engine) into one of two
-    chunk buffers, and chunk c+1's copies are issued BEFORE computing
-    chunk c — compute and HBM traffic overlap, and per-copy latency is
-    amortized ``window``-fold.
+    Two DMA-efficiency levers vs the naive per-(group, page) design (which
+    measured 6x slower than dense XLA at the 4.2B serving tier):
+
+      * pages carry ALL kv groups ([G, ps, hd]) — one copy per (seq, page)
+        moves G x more bytes, so the copy count drops G-fold and each copy
+        is big enough to amortize DMA latency;
+      * each chunk issues ``window`` page copies at once (they pipeline in
+        the DMA engine) into one of two chunk buffers, and chunk c+1's
+        copies are issued BEFORE computing chunk c — compute and HBM traffic
+        overlap.
+
+    Grid is (batch,); each cell computes all Hq = G*N query heads of one
+    sequence as a G-batched dot_general against its paged history.
     """
     b = pl.program_id(0)
-    g = pl.program_id(1)
     length = lengths_ref[b]
-    n_heads, hd = q_ref.shape[2], q_ref.shape[3]
+    g, n_heads, hd = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     w = window  # pages per chunk; pages_per_seq % window == 0 (wrapper)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # [N, hd]
+    q = q_ref[0].astype(jnp.float32)  # [G, N, hd]
 
     def issue(c, slot):
         base = c * w
         for j in range(w):  # static unroll: w copy pairs in flight
             pid = page_table_ref[b, base + j]
             pltpu.make_async_copy(
-                k_pages_ref.at[g, pid], k_buf.at[slot, j], sems.at[slot, j, 0]
+                k_pages_ref.at[pid], k_buf.at[slot, :, j], sems.at[slot, j, 0]
             ).start()
             pltpu.make_async_copy(
-                v_pages_ref.at[g, pid], v_buf.at[slot, j], sems.at[slot, j, 1]
+                v_pages_ref.at[pid], v_buf.at[slot, :, j], sems.at[slot, j, 1]
             ).start()
 
     def wait(slot):
         for j in range(w):
             pltpu.make_async_copy(
-                k_pages_ref.at[g, 0], k_buf.at[slot, j], sems.at[slot, j, 0]
+                k_pages_ref.at[0], k_buf.at[slot, :, j], sems.at[slot, j, 0]
             ).wait()
             pltpu.make_async_copy(
-                v_pages_ref.at[g, 0], v_buf.at[slot, j], sems.at[slot, j, 1]
+                v_pages_ref.at[0], v_buf.at[slot, :, j], sems.at[slot, j, 1]
             ).wait()
 
     num_used = jax.lax.div(length + page_size - 1, page_size)
@@ -283,35 +298,39 @@ def _decode_kernel(
             issue(c + 1, jax.lax.rem(c + 1, 2))
 
         wait(slot)
-        k = k_buf[slot].reshape(w * page_size, hd).astype(jnp.float32)
-        v = v_buf[slot].reshape(w * page_size, hd).astype(jnp.float32)
+        # buffers are [G, w, ps, hd] (the DMA scatters each page across the
+        # w axis), so the merge to [G, w*ps, hd] is a pure reshape
+        k = k_buf[slot].reshape(g, w * page_size, hd).astype(jnp.float32)
+        v = v_buf[slot].reshape(g, w * page_size, hd).astype(jnp.float32)
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [N, w*ps]
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, N, w*ps]
         pos = c * w * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, w * page_size), 1
         )[0]
         valid = pos < length
-        s = jnp.where(valid[None, :], s * scale, mask_value)
+        s = jnp.where(valid[None, None, :], s * scale, mask_value)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_acc, m_cur)
         alpha = jnp.exp(m_acc - m_new)
         p = jnp.exp(s - m_new)
-        p = jnp.where(valid[None, :], p, 0.0)
+        p = jnp.where(valid[None, None, :], p, 0.0)
         l_new = alpha * l_acc + jnp.sum(p, axis=-1, keepdims=True)
-        o_new = o_acc * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
+        o_new = o_acc * alpha + jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, o_new
 
-    m0 = jnp.full((n_heads, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((n_heads, 1), jnp.float32)
-    o0 = jnp.zeros((n_heads, hd), jnp.float32)
+    m0 = jnp.full((g, n_heads, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((g, n_heads, 1), jnp.float32)
+    o0 = jnp.zeros((g, n_heads, hd), jnp.float32)
     m, l, o = jax.lax.fori_loop(0, nc, body, (m0, l0, o0))
     l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (o / l_safe).astype(o_ref.dtype)
+    o_ref[0] = (o / l_safe).astype(o_ref.dtype)
 
 
 def paged_decode_attention(
@@ -334,7 +353,7 @@ def paged_decode_attention(
             q, k_pages, v_pages, page_table, lengths, scale=scale
         )
     b, hq, hd = q.shape
-    g, _, ps, hd_phys = k_pages.shape
+    _, g, ps, hd_phys = k_pages.shape
     n = hq // g
     pps = page_table.shape[1]
     q_in = q.reshape(b, g, n, hd)
@@ -358,18 +377,18 @@ def paged_decode_attention(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, g),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, n, hd_phys), lambda b_, g_, *_: (b_, g_, 0, 0)),
+            pl.BlockSpec((1, g, n, hd_phys), lambda b_, *_: (b_, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, n, hd_phys), lambda b_, g_, *_: (b_, g_, 0, 0)
+            (1, g, n, hd_phys), lambda b_, *_: (b_, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, window, ps, hd_phys), k_pages.dtype),
-            pltpu.VMEM((2, window, ps, hd_phys), v_pages.dtype),
+            pltpu.VMEM((2, g, window, ps, hd_phys), k_pages.dtype),
+            pltpu.VMEM((2, g, window, ps, hd_phys), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, window, 2)),
         ],
     )

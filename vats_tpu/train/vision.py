@@ -40,6 +40,14 @@ class VisionTrainingArgs:
     label_smoothing: float = 0.1
     grad_accum_steps: int = 4
     use_augmentation: bool = True
+    # on-device pixel battery (reference setup_data.py:25-39 host transforms
+    # RandomRotation(15)/AutoAugment(IMAGENET)/RandomErasing, moved into the
+    # jitted step; see vats_tpu/data/pixel_augs.py)
+    auto_augment: bool = True
+    random_rotation_degrees: float = 15.0
+    random_erasing_prob: float = 0.4
+    color_jitter: float = 0.4  # host-side loader knob (vision_data.py)
+    pixel_augs_on_device: bool = False  # True: run the battery in the step
     seed: int = 42
 
 
@@ -106,6 +114,30 @@ def make_vision_train_step(
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         aug_rng, drop_rng = jax.random.split(rng)
         images, targets = batch["images"], batch["labels"]
+        if args.pixel_augs_on_device:
+            # images arrive RAW in [0, 1]; the full reference transform
+            # battery runs on device inside this jitted step
+            # (setup_data.py:25-39): rotate -> AutoAugment -> normalize ->
+            # erase, then mixup/cutmix below.
+            from vats_tpu.data.pixel_augs import (
+                autoaugment_imagenet,
+                random_erasing,
+                random_rotation,
+            )
+            from vats_tpu.data.vision_data import IMAGENET_MEAN, IMAGENET_STD
+
+            r_rot, r_aa, r_er, aug_rng = jax.random.split(aug_rng, 4)
+            images = random_rotation(
+                r_rot, images, args.random_rotation_degrees
+            )
+            if args.auto_augment:
+                images = autoaugment_imagenet(r_aa, images)
+            mean = jnp.asarray(IMAGENET_MEAN)[None, :, None, None]
+            std = jnp.asarray(IMAGENET_STD)[None, :, None, None]
+            images = (images - mean) / std
+            images = random_erasing(
+                r_er, images, p=args.random_erasing_prob
+            )
         if args.use_augmentation:
             images, t_a, t_b, lam = random_augmentation(
                 aug_rng, images, targets, args.mixup_alpha,
