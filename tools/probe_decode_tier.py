@@ -96,15 +96,19 @@ def main():
         return generate(model, params, prompt, None, jax.random.PRNGKey(seed),
                         do_sample=False, temperature=0.0, top_k=None, **common)
 
+    page_size = int(os.environ.get("PROBE_PAGE_SIZE", "16"))
+
     def run_paged(seed):
         return generate_paged(model, params, prompt, None,
                               jax.random.PRNGKey(seed),
                               do_sample=True, temperature=0.8, top_k=50,
-                              page_size=16, **common)
+                              page_size=page_size, **common)
 
-    timed("dense_exact_topk", run_dense)
-    timed("dense_greedy", run_dense_greedy)
-    timed("paged_exact_topk", run_paged)
+    only = os.environ.get("PROBE_ONLY", "")
+    if only != "paged":
+        timed("dense_exact_topk", run_dense)
+        timed("dense_greedy", run_dense_greedy)
+    timed("paged_exact_topk", run_paged, extra={"page_size": page_size})
 
 
 if __name__ == "__main__":
