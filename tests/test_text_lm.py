@@ -173,3 +173,34 @@ def test_gradient_checkpointing_matches():
         jax.tree_util.tree_leaves(g_nc), jax.tree_util.tree_leaves(g_c)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_readout_positions_matches_full_logits():
+    # serving prefill computes logits only at the last valid position; must
+    # equal slicing the full [B, T, V] readout at those positions
+    args = tiny_args()
+    model = TextLM(args)
+    ids = jax.random.randint(jax.random.PRNGKey(20), (3, 10), 1, 97)
+    mask = jnp.array(
+        [[True] * 10, [True] * 7 + [False] * 3, [True] * 4 + [False] * 6]
+    )
+    params = model.init(jax.random.PRNGKey(21), ids)
+    cache_a = model.init_cache(3, 16)
+    full, cache_full, _ = model.apply(
+        params, ids, padding_mask=mask, cache=cache_a, deterministic=True
+    )
+    last = jnp.sum(mask, axis=1).astype(jnp.int32) - 1
+    cache_b = model.init_cache(3, 16)
+    sliced, cache_sliced, _ = model.apply(
+        params, ids, padding_mask=mask, cache=cache_b, deterministic=True,
+        readout_positions=last,
+    )
+    assert sliced.shape == (3, 1, 97)
+    want = jnp.take_along_axis(full, last[:, None, None], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(sliced), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    # the KV cache advance is unaffected by the readout trim
+    np.testing.assert_allclose(
+        np.asarray(cache_sliced.length), np.asarray(cache_full.length)
+    )

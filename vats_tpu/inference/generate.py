@@ -92,15 +92,14 @@ def generate(
 
     cache = model.init_cache(b, total_len)
 
-    # prefill over the whole prompt
-    logits, cache, _ = model.apply(
-        params, input_ids, padding_mask=valid, cache=cache, deterministic=True
-    )
-    # last *valid* prompt position's logits per row (right padding)
+    # prefill over the whole prompt; logits only at the last *valid* prompt
+    # position per row (right padding) — skips the [B, T, V] readout
     last_idx = jnp.maximum(prompt_lens - 1, 0)
-    next_logits = jnp.take_along_axis(
-        logits, last_idx[:, None, None], axis=1
-    ).squeeze(1)
+    logits, cache, _ = model.apply(
+        params, input_ids, padding_mask=valid, cache=cache,
+        deterministic=True, readout_positions=last_idx,
+    )
+    next_logits = logits[:, 0]
 
     unfinished = jnp.ones((b,), dtype=bool)
 
@@ -221,14 +220,12 @@ def generate_paged(
         dtype=resolve_dtype(cfg.dtype),
     )
 
+    last_idx = jnp.maximum(prompt_lens - 1, 0)
     logits, cache, _ = model.apply(
         params, input_ids, padding_mask=attention_mask, paged_cache=cache,
-        deterministic=True,
+        deterministic=True, readout_positions=last_idx,
     )
-    last_idx = jnp.maximum(prompt_lens - 1, 0)
-    next_logits = jnp.take_along_axis(
-        logits, last_idx[:, None, None], axis=1
-    ).squeeze(1)
+    next_logits = logits[:, 0]
 
     unfinished = jnp.ones((b,), dtype=bool)
 
@@ -295,7 +292,11 @@ class TokenGenerator:
         seed: int = 0,
         cast_params_to_compute_dtype: bool = False,
         use_paged: bool = False,
+        quantize: Optional[str] = None,
     ):
+        """quantize: None | 'int8' — weight-only int8 serving (per-channel
+        scales, dequant fused into each matmul's weight load inside jit;
+        halves per-step HBM weight traffic and resident weight memory)."""
         self.model_args = model_args
         self.model = TextLM(model_args)
         if params is None:
@@ -317,6 +318,13 @@ class TokenGenerator:
                 else x,
                 params,
             )
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"unsupported quantize mode: {quantize!r}")
+            from vats_tpu.inference.quantize import QuantizedModel, quantize_params
+
+            params = quantize_params(params)
+            self.model = QuantizedModel(self.model)
         self.params = params
         self.use_paged = use_paged
         self._rng = jax.random.PRNGKey(seed + 1)

@@ -75,6 +75,7 @@ def generate_multimodal(
     local_pos = jnp.broadcast_to(
         jnp.arange(t_text, dtype=jnp.int32)[None, :], (b, t_text)
     )
+    last_idx = jnp.maximum(prompt_lens - 1, 0)
     logits, cache = model.apply(
         {"params": params} if "params" not in params else params,
         text_ids,
@@ -83,11 +84,9 @@ def generate_multimodal(
         padding_mask=text_mask,
         paged_cache=cache,
         deterministic=True,
+        readout_positions=last_idx,
     )
-    last_idx = jnp.maximum(prompt_lens - 1, 0)
-    next_logits = jnp.take_along_axis(
-        logits, last_idx[:, None, None], axis=1
-    ).squeeze(1)
+    next_logits = logits[:, 0]
 
     vocab_ids = jnp.arange(cfg.vocab_size)
     gen = jnp.zeros((b, n_total), dtype=jnp.int32)

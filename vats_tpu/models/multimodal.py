@@ -110,10 +110,13 @@ class MultimodalLM(nn.Module):
         cache: Optional[KVCache] = None,
         paged_cache=None,
         deterministic: bool = True,
+        readout_positions: Optional[jnp.ndarray] = None,
     ):
         """token_ids: [B, T] fused-vocab ids; modality/local_pos: [B, T].
 
         Returns (logits [B, T, vocab] fp32, updated cache or None).
+        readout_positions: optional [B] int32 — logits only at these per-row
+        positions ([B, 1, vocab]); serving prefill skips the [B, T, V] buffer.
         """
         cfg = self.cfg
         dtype = resolve_dtype(cfg.dtype)
@@ -191,6 +194,11 @@ class MultimodalLM(nn.Module):
             new_cache = new_cache.advance(t)
 
         x = RMSNorm(cfg.d_model, cfg.rms_norm_eps, dtype, param_dtype)(x)
+
+        if readout_positions is not None:
+            x = jnp.take_along_axis(
+                x, readout_positions.astype(jnp.int32)[:, None, None], axis=1
+            )
 
         if cfg.tie_weights:
             logits = embed.attend(x.astype(param_dtype))

@@ -148,6 +148,7 @@ class TextLM(nn.Module):
         segment_ids: Optional[jnp.ndarray] = None,
         paged_cache=None,
         deterministic: bool = True,
+        readout_positions: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[KVCache], jnp.ndarray]:
         """input_ids: [B, T] int32 -> (logits [B, T, V] fp32, cache', aux_loss).
 
@@ -156,6 +157,10 @@ class TextLM(nn.Module):
         (attention restricted within equal segments; see data/shard_dataset).
         cache: when given, K/V are appended at cache.length and the cache is
         advanced by T; pass ``None`` for training / uncached forwards.
+        readout_positions: optional [B] int32 — compute logits only at these
+        per-row positions (returns [B, 1, V]).  Serving prefill uses this to
+        avoid materializing the [B, T, V] logit buffer (2.1 GB at the bench
+        tier) when only the last valid prompt position feeds sampling.
         """
         cfg = self.cfg
         dtype = resolve_dtype(cfg.dtype)
@@ -222,6 +227,11 @@ class TextLM(nn.Module):
             new_cache = new_cache.advance(t)
 
         x = RMSNorm(cfg.d_model, cfg.rms_norm_eps, dtype, param_dtype)(x)
+
+        if readout_positions is not None:
+            x = jnp.take_along_axis(
+                x, readout_positions.astype(jnp.int32)[:, None, None], axis=1
+            )
 
         if cfg.tie_weights:
             logits = embed.attend(x.astype(param_dtype))
