@@ -16,3 +16,9 @@ __all__ = [
 ]
 from vats_tpu.inference.multimodal import generate_multimodal
 __all__ += ["generate_multimodal"]
+from vats_tpu.inference.quantize import (
+    QuantizedModel,
+    dequantize_params,
+    quantize_params,
+)
+__all__ += ["QuantizedModel", "dequantize_params", "quantize_params"]
