@@ -95,6 +95,50 @@ def main():
         "vs_baseline": None,
     })
 
+    # --- fused text+image+video token stream over ONE paged KV cache ---
+    # BASELINE config #5: the whole multimodal generation is a single jitted
+    # program — ragged text prefill + 2304-step decode through the Pallas
+    # paged decode kernel with per-step modality-masked sampling.
+    from vats_tpu.configs.multimodal import multimodal_small
+    from vats_tpu.inference.multimodal import generate_multimodal
+    from vats_tpu.models.multimodal import MultimodalLM
+
+    cfg_m = multimodal_small()
+    mmodel = MultimodalLM(cfg_m)
+    bm, t_text = 4, 64
+    text_ids = jax.random.randint(
+        jax.random.PRNGKey(4), (bm, t_text), 1, cfg_m.text_vocab_size
+    )
+    mparams = mmodel.init(
+        jax.random.PRNGKey(5),
+        text_ids[:, :8],
+        jnp.zeros((bm, 8), jnp.int32),
+        jnp.zeros((bm, 8), jnp.int32),
+    )["params"]
+
+    def run_mm(seed):
+        return generate_multimodal(
+            mmodel, mparams, text_ids, None, jax.random.PRNGKey(seed),
+            temperature=0.9, top_k=64, do_sample=True, page_size=16,
+        )
+
+    jax.device_get(run_mm(0))
+    t0 = time.perf_counter()
+    out = run_mm(1)
+    jax.device_get(out)
+    dt = time.perf_counter() - t0
+    n_tokens = bm * (cfg_m.image_tokens + cfg_m.video_tokens)
+    results.append({
+        "metric": "multimodal_fused_paged_tokens_per_sec_per_chip",
+        "value": round(n_tokens / dt, 2),
+        "unit": "image+video tokens/s/chip",
+        "config": (
+            "multimodal_small (d768/12L), fused text(64)+image(16x16)"
+            "+video(8x16x16) stream, paged KV (page_size=16), B=4"
+        ),
+        "vs_baseline": None,
+    })
+
     for r in results:
         print(json.dumps(r))
 

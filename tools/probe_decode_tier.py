@@ -78,7 +78,13 @@ def main():
     t0 = time.perf_counter()
     params = model.init(jax.random.PRNGKey(1), prompt[:1, :8])
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    if os.environ.get("PROBE_QUANT", "") == "int8":
+        from vats_tpu.inference.quantize import QuantizedModel, quantize_params
+
+        params = quantize_params(params)
+        model = QuantizedModel(model)
     print(json.dumps({"probe": "init", "params_b": round(n_params / 1e9, 3),
+                      "quant": os.environ.get("PROBE_QUANT", "none"),
                       "init_s": round(time.perf_counter() - t0, 1)}), flush=True)
 
     common = dict(
