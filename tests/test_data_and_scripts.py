@@ -132,8 +132,8 @@ def test_video_loader():
     "script,extra",
     [
         ("scripts/nlp/train.py",
-         ["--size", "xsmall", "--max-train-tokens", "3000", "--batch-size", "2",
-          "--seq-len", "32", "--eval-every-steps", "5"]),
+         ["--size", "xsmall", "--max-train-tokens", "512", "--batch-size", "2",
+          "--seq-len", "32", "--eval-every-steps", "4"]),
         ("scripts/image_gen/train.py", ["--steps", "3", "--log-every", "1"]),
         ("scripts/video_gen/train.py", ["--steps", "3"]),
         ("scripts/vision/vit2d/train.py",
@@ -142,6 +142,7 @@ def test_video_loader():
          ["--epochs", "1", "--steps-per-epoch", "2", "--batch-size", "2"]),
     ],
 )
+@pytest.mark.slow
 def test_script_smoke(script, extra):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

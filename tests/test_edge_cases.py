@@ -58,6 +58,7 @@ def test_sequence_longer_than_training_context_still_runs():
     assert logits.shape == (1, 24, 97)
 
 
+@pytest.mark.slow
 def test_vit3d_more_frames_than_max_truncates():
     cfg = vit3d_tiny_test()
     model = VideoTransformer(cfg)

@@ -5,6 +5,7 @@ well-defined generation semantics (use_cache=False path of
 /root/reference/src/transformers/nlp/inference/generate.py:129-140)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,7 @@ def tiny_args(**kw):
     return ModelArgs(**base)
 
 
+@pytest.mark.slow
 def test_greedy_generate_matches_uncached_oracle():
     args = tiny_args()
     model = TextLM(args)

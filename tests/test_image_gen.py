@@ -95,6 +95,7 @@ def test_ar_transformer_features_and_logits(ar_model_and_params):
     assert logits.shape == (2, 16, CFG.num_embeddings)
 
 
+@pytest.mark.slow
 def test_ar_cached_decode_matches_full(ar_model_and_params):
     """Raster-order cached decode logits == full-forward logits."""
     model, params = ar_model_and_params

@@ -229,6 +229,7 @@ def test_moe_sort_equals_dense_lossless():
     )
 
 
+@pytest.mark.slow
 def test_moe_sort_equals_scatter_with_drops():
     """At tight capacity, sort and one-hot dispatch drop the SAME tokens
     (slot-major priority) and produce identical outputs and gradients."""
