@@ -39,7 +39,7 @@ from vats_tpu.nn.rope import (
     apply_rope_3d_ntk_positions,
     apply_rope_interleaved,
 )
-from vats_tpu.ops import dot_product_attention
+from vats_tpu.ops import cached_decode_attention, dot_product_attention
 from vats_tpu.parallel import with_logical_constraint
 
 
@@ -280,7 +280,7 @@ class Attention(nn.Module):
             q = self._apply_rope(q, positions, grid_shape, rope_angles)
             k = self._apply_rope(k, positions, grid_shape, rope_angles)
             new_cache = cache.update_layer(layer_idx, k, v)
-            k_buf, v_buf = new_cache.layer(layer_idx)
+            k_buf, v_buf = new_cache.layer_t(layer_idx)
             kv_valid = new_cache.valid_mask(b, extra=t)
             if padding_mask is not None:
                 if padding_mask.shape[-1] == new_cache.max_seq_len:
@@ -291,7 +291,7 @@ class Attention(nn.Module):
                     kv_valid = self._merge_padding(
                         kv_valid, padding_mask, start, b, new_cache.max_seq_len
                     )
-            out = dot_product_attention(
+            out = cached_decode_attention(
                 q,
                 k_buf,
                 v_buf,

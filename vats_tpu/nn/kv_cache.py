@@ -1,14 +1,24 @@
-"""Static-shape functional KV cache.
+"""Static-shape functional KV cache (sequence-minor layout).
 
 The reference's KVCache (/root/reference/src/optimized_attention.py:169-287)
 is a python object holding per-layer dicts, appended to eagerly; its call
 sites double-append (concat-then-update, :507-516 — SURVEY.md §2.13.8).  The
 TPU version is a correct-by-construction pytree with one append per step:
 
-  * pre-allocated [num_layers, B, max_seq_len, kv_heads, head_dim] buffers
+  * pre-allocated [num_layers, B, kv_heads, head_dim, max_seq_len] buffers.
+    The SEQUENCE axis is minor: TPU tiles the last two dims to (8, 128), so
+    a head_dim-minor cache pads head_dim to 128 lanes — a 2.13x HBM size and
+    read tax at the reference tiers' head_dim 60 (measured ~2 ms/step at the
+    4.19B bench tier).  Sequence-minor puts the 128-granule on max_seq_len
+    (naturally large) and the 8-granule on head_dim (60 -> 64, ~7%).
   * a scalar ``length`` index; writes via lax.dynamic_update_slice
   * pure-functional updates (callers donate the cache under jit so XLA
     performs the update in place — no copy)
+
+Consumers read the native layout via :meth:`layer_t` and attend with
+``ops.attention_xla.cached_decode_attention``; :meth:`layer` returns the
+classic [B, S, G, hd] view (pays a transpose — fine for the small
+frame-level caches of the video stack).
 
 This is the train/prefill/decode cache; the paged decode cache used by the
 decode attention kernel lives in vats_tpu/ops/decode_attention.py.
@@ -25,8 +35,8 @@ from flax import struct
 
 @struct.dataclass
 class KVCache:
-    k: jnp.ndarray  # [L, B, S, G, hd]
-    v: jnp.ndarray  # [L, B, S, G, hd]
+    k: jnp.ndarray  # [L, B, G, hd, S]
+    v: jnp.ndarray  # [L, B, G, hd, S]
     length: jnp.ndarray  # int32 scalar: number of valid positions
 
     @classmethod
@@ -39,7 +49,7 @@ class KVCache:
         head_dim: int,
         dtype: Any = jnp.bfloat16,
     ) -> "KVCache":
-        shape = (num_layers, batch_size, max_seq_len, kv_heads, head_dim)
+        shape = (num_layers, batch_size, kv_heads, head_dim, max_seq_len)
         return cls(
             k=jnp.zeros(shape, dtype=dtype),
             v=jnp.zeros(shape, dtype=dtype),
@@ -48,7 +58,7 @@ class KVCache:
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[-1]
 
     def update_layer(
         self, layer_idx: int, k_new: jnp.ndarray, v_new: jnp.ndarray
@@ -58,21 +68,24 @@ class KVCache:
         Does NOT advance ``length`` — call :meth:`advance` once after all
         layers have written (each layer writes at the same offset).
         """
-        start = (layer_idx, 0, self.length, 0, 0)
-        k = jax.lax.dynamic_update_slice(
-            self.k, k_new[None].astype(self.k.dtype), start
-        )
-        v = jax.lax.dynamic_update_slice(
-            self.v, v_new[None].astype(self.v.dtype), start
-        )
+        k_t = jnp.transpose(k_new, (0, 2, 3, 1))[None]  # [1, B, G, hd, T]
+        v_t = jnp.transpose(v_new, (0, 2, 3, 1))[None]
+        start = (layer_idx, 0, 0, 0, self.length)
+        k = jax.lax.dynamic_update_slice(self.k, k_t.astype(self.k.dtype), start)
+        v = jax.lax.dynamic_update_slice(self.v, v_t.astype(self.v.dtype), start)
         return self.replace(k=k, v=v)
 
     def advance(self, num_tokens: int) -> "KVCache":
         return self.replace(length=self.length + jnp.int32(num_tokens))
 
-    def layer(self, layer_idx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Full-buffer K/V views for a layer: ([B, S, G, hd], [B, S, G, hd])."""
+    def layer_t(self, layer_idx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Native full-buffer views for a layer: ([B, G, hd, S], same)."""
         return self.k[layer_idx], self.v[layer_idx]
+
+    def layer(self, layer_idx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Classic [B, S, G, hd] views (transposed copy; prefer layer_t)."""
+        k, v = self.layer_t(layer_idx)
+        return jnp.transpose(k, (0, 3, 1, 2)), jnp.transpose(v, (0, 3, 1, 2))
 
     def valid_mask(self, batch_size: int, extra: int = 0) -> jnp.ndarray:
         """[B, S] bool: True where a cache slot holds a valid (written) entry,

@@ -1,3 +1,7 @@
-from vats_tpu.ops.attention_xla import dot_product_attention, make_attention_mask
+from vats_tpu.ops.attention_xla import (
+    cached_decode_attention,
+    dot_product_attention,
+    make_attention_mask,
+)
 
-__all__ = ["dot_product_attention", "make_attention_mask"]
+__all__ = ["cached_decode_attention", "dot_product_attention", "make_attention_mask"]

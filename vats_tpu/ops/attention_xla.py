@@ -139,3 +139,64 @@ def dot_product_attention(
 
     out = jnp.einsum("bgnts,bsgd->btgnd", probs, vf)
     return out.reshape(b, t, hq, hd).astype(q.dtype)
+
+
+def cached_decode_attention(
+    q: jnp.ndarray,
+    k_t: jnp.ndarray,
+    v_t: jnp.ndarray,
+    *,
+    scale: float,
+    causal: bool = True,
+    left_window: int = -1,
+    right_window: int = -1,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
+    kv_valid: Optional[jnp.ndarray] = None,
+    mask_value: float = DEFAULT_MASK_VALUE,
+) -> jnp.ndarray:
+    """Attention over the KVCache's native sequence-minor layout.
+
+    q: [B, T, Hq, hd]; k_t, v_t: [B, G, hd, S] (nn.KVCache.layer_t).  Same
+    semantics as :func:`dot_product_attention` for the cached path (position
+    masks, windows, validity), but never materializes a head_dim-minor
+    [B, S, G, hd] buffer — which would pay the 128-lane tile pad at the
+    reference tiers' head_dim 60 (see nn/kv_cache.py docstring).
+    """
+    b, t, hq, hd = q.shape
+    _, g, _, s = k_t.shape
+    if hq % g != 0:
+        raise ValueError(f"num q heads ({hq}) must be divisible by kv groups ({g})")
+    n = hq // g
+
+    if q_positions is None:
+        q_positions = jnp.arange(t)
+    if kv_positions is None:
+        kv_positions = jnp.arange(s)
+
+    qg = q.reshape(b, t, g, n, hd).astype(jnp.float32)
+    kf = k_t.astype(jnp.float32)
+    vf = v_t.astype(jnp.float32)
+
+    # [B, G, N, T, S]
+    scores = jnp.einsum("btgnd,bgds->bgnts", qg, kf) * scale
+
+    mask = make_attention_mask(
+        q_positions,
+        kv_positions,
+        causal=causal,
+        left_window=left_window,
+        right_window=right_window,
+        kv_valid=kv_valid,
+    )
+    while mask.ndim < 3:
+        mask = mask[None]
+    scores = jnp.where(mask[:, None, None, :, :], scores, mask_value)
+
+    scores_max = jnp.max(scores, axis=-1, keepdims=True)
+    unnorm = jnp.exp(scores - scores_max)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    probs = unnorm / jnp.maximum(denom, 1e-30)
+
+    out = jnp.einsum("bgnts,bgds->btgnd", probs, vf)
+    return out.reshape(b, t, hq, hd).astype(q.dtype)
