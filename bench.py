@@ -29,7 +29,7 @@ import os
 import sys
 import time
 
-BATCH = 64
+BATCH = 128  # largest serving batch that fits paged bf16 at this tier
 PROMPT_LEN = 128
 DECODE_STEPS = 256
 PAGE_SIZE = 32

@@ -32,14 +32,19 @@ def main():
     from vats_tpu.models import TextLM
     from vats_tpu.train import create_optimizer, create_train_state, make_train_step
 
+    shapes = dict(BENCH_CFG)
+    # reference-large-tier expert count (E=32 top-2) through the sort-based
+    # ragged dispatch: BENCH_TRAIN_EXPERTS=32 BENCH_TRAIN_DISPATCH=sort
+    if os.environ.get("BENCH_TRAIN_EXPERTS"):
+        shapes["num_experts"] = int(os.environ["BENCH_TRAIN_EXPERTS"])
     cfg = ModelArgs(
         dropout=0.1,
         left_window=-1,
         use_mqa=False,
         gradient_checkpointing=False,
-        moe_dispatch="scatter",
+        moe_dispatch=os.environ.get("BENCH_TRAIN_DISPATCH", "scatter"),
         capacity_factor=1.25,
-        **BENCH_CFG,
+        **shapes,
     )
     model = TextLM(cfg)
     targs = TrainingArgs(grad_accum_steps=1)
@@ -72,8 +77,9 @@ def main():
                 "metric": "moe_train_tokens_per_sec_per_chip",
                 "value": round(toks / dt, 2),
                 "unit": "tokens/s/chip",
-                "config": f"bench shapes, B={BATCH}, T={SEQ_LEN}, "
-                          "fwd+bwd+AdamW (no remat)",
+                "config": f"bench shapes E={cfg.num_experts} "
+                          f"dispatch={cfg.moe_dispatch}, B={BATCH}, "
+                          f"T={SEQ_LEN}, fwd+bwd+AdamW (no remat)",
                 "vs_baseline": None,
             }
         )
