@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = int(os.environ.get("PROBE_BATCH", "128"))
-CTX = 384
+CTX = int(os.environ.get("PROBE_CTX", "384"))
 
 
 def main():
@@ -111,6 +111,7 @@ def main():
             "implied_weight_gbps": round(wbytes / dt / 1e9, 1),
             "compile_s": round(compile_s, 1),
             "batch": BATCH,
+            "ctx": CTX,
         }), flush=True)
         del params, cache, model
         import gc
