@@ -6,8 +6,8 @@ the reference's medium model shapes (d1440 / 24 heads / 8 kv groups / 20
 layers / vocab 65536, /root/reference/configs/transformers/nlp/model_args/
 model_args_medium.py) with the E=8 top-2 MoE the north star benchmarks —
 4.19B params in bf16, the largest MoE tier that fits one v5e's 16 GB HBM
-with a serving KV cache (B=128 compiles to 17.8 GB and OOMs; B=64 is the
-operating point).
+with a serving KV cache.  B=128 is the operating point (fits since the
+sequence-minor KV layouts removed the 128-lane head-dim pad).
 
 The recorded serving path is ``generate_paged`` — ragged continuous-batching
 decode through the Pallas paged-KV decode kernel — with EXACT top-k
@@ -32,7 +32,7 @@ import time
 BATCH = 128  # largest serving batch that fits paged bf16 at this tier
 PROMPT_LEN = 128
 DECODE_STEPS = 256
-PAGE_SIZE = 32
+PAGE_SIZE = 128
 N_ITERS = 3
 
 # v5e peak: 197 bf16 TFLOP/s, 819 GB/s HBM (public TPU v5e spec)

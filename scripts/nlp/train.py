@@ -202,10 +202,23 @@ def main():
     if args.resume:
         from vats_tpu.checkpoint import load_checkpoint
 
-        restored, _ = load_checkpoint(args.resume, target=jax.device_get(state))
-        state = restored.replace(apply_fn=model.apply)
         if mesh is not None:
-            state = jax.device_put(state, state_shardings)
+            # restore straight into the sharded layout: device_get on a
+            # globally-sharded state raises on real multi-host jobs (shards
+            # are not all addressable from one process)
+            abstract = jax.tree_util.tree_map(
+                lambda x, s: jax.ShapeDtypeStruct(
+                    jnp.shape(x), x.dtype, sharding=s
+                ),
+                state,
+                state_shardings,
+            )
+            restored, _ = load_checkpoint(args.resume, target=abstract)
+        else:
+            restored, _ = load_checkpoint(
+                args.resume, target=jax.device_get(state)
+            )
+        state = restored.replace(apply_fn=model.apply)
         logger.info("resumed state: tokens_seen=%d", int(state.tokens_seen))
     ckpt = CheckpointManager(args.ckpt_dir, model_args=model_args,
                              training_args=training_args)

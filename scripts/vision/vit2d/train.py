@@ -64,6 +64,11 @@ def main():
             train_it, val_it = setup_data_loaders(
                 f"{args.data_dir}/train", f"{args.data_dir}/val",
                 args.batch_size, image_size=cfg.target_size,
+                color_jitter=targs.color_jitter,
+                random_rotation_degrees=targs.random_rotation_degrees,
+                auto_augment=targs.auto_augment,
+                random_erasing_prob=targs.random_erasing_prob,
+                raw_images=targs.pixel_augs_on_device,
             )
             return train_it, val_it
         rng = np.random.RandomState(split_seed)

@@ -238,6 +238,6 @@ def test_paged_image_decode_matches_dense(ar_model_and_params):
     )
     paged = generate_image_tokens_paged(
         model, params, text, None, jax.random.PRNGKey(22),
-        grid_h=4, grid_w=4, temperature=0.0, do_sample=False, page_size=4,
+        grid_h=4, grid_w=4, temperature=0.0, do_sample=False, page_size=128,
     )
     np.testing.assert_array_equal(np.asarray(dense), np.asarray(paged))

@@ -32,7 +32,7 @@ def test_paged_model_forward_matches_dense_cache():
 
     cache = PagedKVCache.create(
         args.num_layers, 2, 16, args.query_groups, args.head_dim,
-        page_size=4, dtype=jnp.float32,
+        page_size=128, dtype=jnp.float32,
     )
     # prefill 6
     logits_p, cache, _ = model.apply(
@@ -65,7 +65,7 @@ def test_paged_generate_matches_dense_generate_greedy():
         model, params, prompt, None, jax.random.PRNGKey(4), **kw
     )
     t_paged, l_paged = generate_paged(
-        model, params, prompt, None, jax.random.PRNGKey(4), page_size=4, **kw
+        model, params, prompt, None, jax.random.PRNGKey(4), page_size=128, **kw
     )
     # uniform prompts: identical layout and tokens
     np.testing.assert_array_equal(np.asarray(l_dense), np.asarray(l_paged))
@@ -91,13 +91,13 @@ def test_paged_generate_ragged_prompts():
         eos_token_id=None, total_len=16,
     )
     t_batch, l_batch = generate_paged(
-        model, params, prompt, mask, jax.random.PRNGKey(7), page_size=4, **kw
+        model, params, prompt, mask, jax.random.PRNGKey(7), page_size=128, **kw
     )
     for row, n in enumerate(lens):
         single = prompt[row : row + 1, :n]
         t_single, l_single = generate_paged(
             model, params, single, None, jax.random.PRNGKey(8),
-            page_size=4, **kw,
+            page_size=128, **kw,
         )
         assert int(l_batch[row]) == int(l_single[0]) == n + 5
         np.testing.assert_array_equal(

@@ -119,7 +119,7 @@ def main():
     def run_mm(seed):
         return generate_multimodal(
             mmodel, mparams, text_ids, None, jax.random.PRNGKey(seed),
-            temperature=0.9, top_k=64, do_sample=True, page_size=16,
+            temperature=0.9, top_k=64, do_sample=True, page_size=128,
         )
 
     jax.device_get(run_mm(0))
@@ -134,7 +134,7 @@ def main():
         "unit": "image+video tokens/s/chip",
         "config": (
             "multimodal_small (d768/12L), fused text(64)+image(16x16)"
-            "+video(8x16x16) stream, paged KV (page_size=16), B=4"
+            "+video(8x16x16) stream, paged KV (page_size=128), B=4"
         ),
         "vs_baseline": None,
     })

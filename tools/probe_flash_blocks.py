@@ -34,8 +34,15 @@ print("oracle(lo) vs oracle(hi):", float(np.max(np.abs(ref_lo - ref_hi))),
 print("flash vs oracle(hi):     ", float(np.max(np.abs(fl - ref_hi))),
       flush=True)
 
-# timing sweep at training shape
-B2, T2, H2, G2, hd2 = 4, 4096, 8, 2, 64
+# timing sweep at training shape (env-overridable; bench.py's kernel shape
+# is B=4 T=4096 H=24 G=8 hd=60)
+import os  # noqa: E402
+
+B2 = int(os.environ.get("PROBE_B", "4"))
+T2 = int(os.environ.get("PROBE_T", "4096"))
+H2 = int(os.environ.get("PROBE_H", "8"))
+G2 = int(os.environ.get("PROBE_G", "2"))
+hd2 = int(os.environ.get("PROBE_HD", "64"))
 q = jax.random.normal(jax.random.PRNGKey(4), (B2, T2, H2, hd2), jnp.bfloat16)
 k = jax.random.normal(jax.random.PRNGKey(5), (B2, T2, G2, hd2), jnp.bfloat16)
 v = jax.random.normal(jax.random.PRNGKey(6), (B2, T2, G2, hd2), jnp.bfloat16)

@@ -233,7 +233,8 @@ def _magnitude(name: str, idx) -> float:
         # enhancer factor = 1 + sign * m
         return float(np.linspace(0.0, 0.9, 10)[idx])
     if name == "Posterize":
-        return float(8 - int(np.arange(10)[idx] / (10 / 4)))
+        # torchvision _augmentation_space: 8 - round(idx * 4 / 9) bits
+        return float(8 - int(round(idx * 4 / 9)))
     if name == "Solarize":
         return float(np.linspace(255.0, 0.0, 10)[idx] / 255.0)
     return 0.0

@@ -71,12 +71,25 @@ def setup_data_loaders(
     *,
     image_size: int = 256,
     num_workers: int = 8,
+    color_jitter: float = 0.4,
+    random_rotation_degrees: float = 15.0,
+    auto_augment: bool = True,
+    random_erasing_prob: float = 0.4,
+    raw_images: bool = False,
 ) -> Tuple[Iterator, Iterator]:
     """ImageFolder-backed loaders (reference setup_data.py:52-70).
 
     Heavy geometric/photometric train augmentation stays on the host via
     torchvision when available; mixup/cutmix run on device.  Raises a clear
     error when torchvision or the data directories are missing.
+
+    The photometric knobs mirror ``VisionTrainingArgs``; pass them through so
+    config changes take effect.  ``raw_images=True`` emits crop+flip-only
+    [0, 1] train batches for the on-device battery
+    (``VisionTrainingArgs.pixel_augs_on_device`` — which REQUIRES this mode;
+    pairing a host-augmented loader with on-device augs would double-augment
+    and double-normalize).  Val batches stay normalized in both modes (the
+    eval step applies the model directly).
     """
     try:
         import torch
@@ -90,22 +103,45 @@ def setup_data_loaders(
         if not os.path.isdir(d):
             raise FileNotFoundError(f"dataset directory not found: {d}")
 
-    # full reference battery (setup_data.py:25-39); normalize+erase happen
-    # here so wrap() must not re-normalize train batches
-    train_tf = transforms.Compose(
-        [
+    if raw_images:
+        # geometric crop/flip only; photometrics + normalize + erase run on
+        # device inside the jitted train step (train/vision.py)
+        train_tf = transforms.Compose(
+            [
+                transforms.RandomResizedCrop(image_size, scale=(0.2, 1.0)),
+                transforms.RandomHorizontalFlip(p=0.5),
+                transforms.ToTensor(),
+            ]
+        )
+    else:
+        # full reference battery (setup_data.py:25-39); normalize+erase
+        # happen here so wrap() must not re-normalize train batches
+        ops = [
             transforms.RandomResizedCrop(image_size, scale=(0.2, 1.0)),
             transforms.RandomHorizontalFlip(p=0.5),
-            transforms.ColorJitter(0.4, 0.4, 0.4, hue=0.1),
-            transforms.RandomRotation(degrees=15),
-            transforms.AutoAugment(transforms.AutoAugmentPolicy.IMAGENET),
+        ]
+        if color_jitter > 0:
+            ops.append(transforms.ColorJitter(
+                color_jitter, color_jitter, color_jitter, hue=0.1
+            ))
+        if random_rotation_degrees > 0:
+            ops.append(transforms.RandomRotation(
+                degrees=random_rotation_degrees
+            ))
+        if auto_augment:
+            ops.append(transforms.AutoAugment(
+                transforms.AutoAugmentPolicy.IMAGENET
+            ))
+        ops += [
             transforms.ToTensor(),
             transforms.Normalize(mean=tuple(IMAGENET_MEAN),
                                  std=tuple(IMAGENET_STD)),
-            transforms.RandomErasing(p=0.4, scale=(0.02, 0.33),
-                                     ratio=(0.3, 3.3)),
         ]
-    )
+        if random_erasing_prob > 0:
+            ops.append(transforms.RandomErasing(
+                p=random_erasing_prob, scale=(0.02, 0.33), ratio=(0.3, 3.3)
+            ))
+        train_tf = transforms.Compose(ops)
     val_tf = transforms.Compose(
         [transforms.Resize(int(image_size * 1.14)),
          transforms.CenterCrop(image_size),

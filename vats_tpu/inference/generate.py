@@ -181,7 +181,7 @@ def generate_paged(
     pad_token_id: int = 0,
     eos_token_id: Optional[int] = None,
     total_len: Optional[int] = None,
-    page_size: int = 16,
+    page_size: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ragged-batch generation over a paged KV cache.
 

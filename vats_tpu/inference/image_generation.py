@@ -174,7 +174,7 @@ def generate_image_tokens_paged(
     top_p: Optional[float] = None,
     do_sample: bool = True,
     start_token_id: int = 0,
-    page_size: int = 16,
+    page_size: int = 128,
 ) -> jnp.ndarray:
     """Paged-KV variant of :func:`generate_image_tokens`.
 

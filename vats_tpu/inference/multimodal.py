@@ -47,7 +47,7 @@ def generate_multimodal(
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
     do_sample: bool = True,
-    page_size: int = 16,
+    page_size: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """text_ids: [B, T_text] right-padded prompt (ids < text_vocab_size).
 

@@ -313,7 +313,7 @@ class AutoregressiveImageTransformer(nn.Module):
 
     def init_paged_cache(
         self, batch_size: int, max_len: Optional[int] = None,
-        page_size: int = 16,
+        page_size: int = 128,
     ):
         from vats_tpu.ops.decode_attention import PagedKVCache
 

@@ -23,6 +23,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
@@ -362,11 +363,15 @@ class Attention(nn.Module):
         ``lengths`` — rows at different depths decode correctly in one batch.
         Supports 1D (text), raster 2D-NTK (image-gen), raster 3D-NTK (video
         token streams) RoPE, or caller-supplied per-token angles (fused
-        multimodal streams).  T==1 uses the paged decode kernel; prefill
-        (T>1) gathers pages dense.
+        multimodal streams).  T==1 runs the fused attend+commit kernel: the
+        current token's K/V feeds the kernel directly (one extra column) and
+        the kernel writes it into its page in-place — never through XLA's
+        scatter path, which rewrites the pool at dynamic lane offsets
+        (~460 us/layer measured).  Prefill (T>1) appends and attends the
+        gathered pages.
         """
         from vats_tpu.ops.decode_attention import (
-            paged_decode_attention,
+            paged_decode_attention_commit,
             paged_decode_attention_xla,
         )
 
@@ -383,9 +388,7 @@ class Attention(nn.Module):
         k = self._apply_rope(k, positions, grid_shape, rope_angles)
 
         if t == 1:
-            new_cache = paged_cache.append_token(layer_idx, k[:, 0], v[:, 0])
-            kp = new_cache.k_pages[layer_idx]
-            vp = new_cache.v_pages[layer_idx]
+            k_cur, v_cur = k[:, 0], v[:, 0]
             if paged_impl == "auto":
                 import jax
 
@@ -394,20 +397,27 @@ class Attention(nn.Module):
                 )
             if paged_impl == "xla":
                 out = paged_decode_attention_xla(
-                    q[:, 0], kp, vp, new_cache.page_table, lengths + 1,
-                    scale=scale,
+                    q[:, 0], paged_cache.kv_pages[layer_idx],
+                    paged_cache.page_table, lengths,
+                    scale=scale, k_cur=k_cur, v_cur=v_cur,
                 )
+                new_cache = paged_cache.append_token(layer_idx, k_cur, v_cur)
             else:
-                out = paged_decode_attention(
-                    q[:, 0], kp, vp, new_cache.page_table, lengths + 1,
-                    scale=scale, interpret=(paged_impl == "kernel_interpret"),
+                out, new_pool = paged_decode_attention_commit(
+                    q[:, 0], paged_cache.kv_pages, layer_idx,
+                    paged_cache.page_table, lengths,
+                    scale=scale, k_cur=k_cur, v_cur=v_cur,
+                    interpret=(paged_impl == "kernel_interpret"),
                 )
+                new_cache = paged_cache.replace(kv_pages=new_pool)
             return out[:, None], new_cache
 
-        # prefill: append the whole window, gather dense, masked attention
+        # prefill: append the whole window, gather pages in the cache-native
+        # sequence-minor layout [B, G, hd_pad, S] (head-dim-minor buffers pay
+        # the 128-lane tile pad), masked attention over the buffer
         new_cache = paged_cache.append_tokens(layer_idx, k, v)
-        k_buf, v_buf = new_cache.gather_dense(layer_idx)
-        s = k_buf.shape[1]
+        k_buf, v_buf = new_cache.gather_dense_t(layer_idx)
+        s = k_buf.shape[-1]
         buf_pos = jnp.arange(s)[None, :]
         kv_valid = buf_pos < (lengths + t)[:, None]
         if padding_mask is not None:
@@ -423,15 +433,22 @@ class Attention(nn.Module):
             )
             pad_full = jnp.where(in_window, window_valid, pad_full)
             kv_valid = kv_valid & pad_full
-        out = dot_product_attention(
-            q, k_buf, v_buf,
+        hd = q.shape[-1]
+        if k_buf.shape[2] != hd:  # stored pad rows are zero; pad q to match
+            q_pad = jnp.pad(
+                q, ((0, 0), (0, 0), (0, 0), (0, k_buf.shape[2] - hd))
+            )
+        else:
+            q_pad = q
+        out = cached_decode_attention(
+            q_pad, k_buf, v_buf,
             scale=scale,
             causal=True,
             left_window=left_window,
             q_positions=positions,
             kv_positions=jnp.arange(s),
             kv_valid=kv_valid,
-        )
+        )[..., :hd]
         return out, new_cache
 
     @staticmethod

@@ -3,18 +3,31 @@
 The serving-side replacement for the reference's eager per-token decode
 (/root/reference/src/transformers/nlp/inference/generate.py:102-236, which
 re-concatenates python-side tensors every step) and the TPU counterpart of
-flash-attn's decode path the reference never had:
+flash-attn's decode path the reference never had.
 
-  * :class:`PagedKVCache` — K/V stored in fixed-size pages scattered across
-    HBM ([layers, num_pages, kv_heads, page_size, head_dim]; a page carries
-    all kv groups so one DMA moves G*ps*hd bytes); a per-sequence page table
-    maps logical positions to physical pages, so sequences of different
-    lengths share one physical pool (vLLM-style paged allocation)
-  * :func:`paged_decode_attention` — one query token per sequence attends its
-    whole paged history: grid (batch,), page table + lengths as
-    scalar-prefetch (pages are DMA'd HBM->VMEM in double-buffered windowed
-    chunks), online softmax in fp32, GQA folded (all Hq = G*N query heads
-    computed per grid cell as G-batched matmuls against the paged KV stream)
+Design (every choice below was measured on a v5e against the alternative):
+
+  * :class:`PagedKVCache` — K and V share ONE pool of **sequence-minor**
+    pages ``[layers, num_pages, 2, kv_heads, head_dim_pad, page_size]`` with
+    ``page_size`` a multiple of 128, so a page occupies whole lane tiles and
+    one DMA streams a (k, v) pair for all groups (~262 KiB at the 4.2B
+    serving tier).  head_dim pads only to the 8-sublane granule (60 -> 64,
+    ~7%); the round-2 head-dim-minor layout paid the 128-lane tile pad
+    (60 -> 128, 2.13x KV bytes) on every read and write.
+  * **In-kernel appends** — XLA cannot scatter at a dynamic lane offset
+    without rewriting the buffer (a per-layer ``.at[...].set`` measured
+    ~460 us/layer; dynamic_update_slice the same): so during decode the
+    cache write never goes through XLA at all.  The kernel receives the
+    current token's K/V (``k_cur/v_cur``), attends it as one extra column,
+    inserts it into its page in VMEM (the page is already streamed for
+    attention), and DMAs that single page back — the pool rides
+    ``input_output_aliases`` so the whole update is in-place.
+  * :func:`paged_decode_attention` — grid cells cover ``rows_per_cell``
+    sequences so many page DMAs are in flight per cell (a one-row cell is
+    DMA-latency-bound: 2-3 sequential copies per cell measured ~350 us/layer
+    at B=128); page table + lengths ride scalar prefetch; online softmax in
+    fp32; GQA folded (all Hq = G*N query heads per row batched as one
+    rows*G matmul batch — Mosaic matmuls take a single batch dim).
   * an XLA reference implementation (``paged_decode_attention_xla``) used as
     the numerics oracle and CPU fallback.
 """
@@ -41,26 +54,25 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _pad_head_dim(head_dim: int) -> int:
-    """Physical head dim of the page pools: padded up to a 128-lane multiple.
+    """Physical (stored) head dim: padded to the 8-sublane granule.
 
-    Mosaic requires DMA slice shapes 128-aligned along the lane (last)
-    dimension, so pools for head_dim 60/64/66/72 (every config tier's
-    operating point) store 128 lanes; the pad lanes are zero and are sliced
-    off after attention (zeros contribute nothing to q·k or p·v)."""
-    return max(128, -(-head_dim // 128) * 128)
+    head_dim sits on the SUBLANE axis of the sequence-minor page layout;
+    Mosaic requires DMA slice shapes 8-aligned there (and the pool array is
+    stored tiled to 8 sublanes anyway), so storing the pad explicitly makes
+    per-page DMA slices legal.  The pad rows are zero and contribute nothing
+    to q.k or p.v."""
+    return -(-head_dim // 8) * 8
 
 
 @struct.dataclass
 class PagedKVCache:
     """Paged K/V pool shared by all sequences in the batch.
 
-    A page holds ``page_size`` tokens for ALL kv groups ([G, ps, hd_phys]) —
-    one DMA per (sequence, page) moves the whole group block (G x ps x hd),
-    8x fewer and 8x larger copies than a per-(group, page) layout, which
-    measured DMA-latency-bound at the 4.2B serving tier."""
+    A page holds ``page_size`` tokens' K AND V for ALL kv groups
+    ([2, G, hd_pad, ps]) — one DMA per (sequence, page) moves the whole
+    block; per-(k/v, group, page) copies measured DMA-latency-bound."""
 
-    k_pages: jnp.ndarray  # [L, num_pages, G, page_size, hd_phys]
-    v_pages: jnp.ndarray  # [L, num_pages, G, page_size, hd_phys]
+    kv_pages: jnp.ndarray  # [L, num_pages, 2, G, hd_pad, page_size]
     page_table: jnp.ndarray  # [B, pages_per_seq] physical page ids
     lengths: jnp.ndarray  # [B] valid tokens per sequence
     head_dim: int = struct.field(pytree_node=False, default=0)  # logical hd
@@ -74,13 +86,20 @@ class PagedKVCache:
         kv_heads: int,
         head_dim: int,
         *,
-        page_size: int = 16,
+        page_size: int = 128,
         dtype: Any = jnp.bfloat16,
     ) -> "PagedKVCache":
+        if page_size % 128 != 0:
+            raise ValueError(
+                f"page_size ({page_size}) must be a multiple of 128: pages "
+                "are lane-tiled [.., head_dim, page_size] and a sub-128 lane "
+                "dim would be stored padded to 128 anyway"
+            )
         pages_per_seq = -(-max_seq_len // page_size)
         num_pages = batch_size * pages_per_seq
         shape = (
-            num_layers, num_pages, kv_heads, page_size, _pad_head_dim(head_dim)
+            num_layers, num_pages, 2, kv_heads, _pad_head_dim(head_dim),
+            page_size,
         )
         # identity allocation: sequence b owns pages [b*pps, (b+1)*pps);
         # a serving allocator can permute the table freely
@@ -89,89 +108,104 @@ class PagedKVCache:
             + jnp.arange(pages_per_seq)[None, :]
         ).astype(jnp.int32)
         return cls(
-            k_pages=jnp.zeros(shape, dtype=dtype),
-            v_pages=jnp.zeros(shape, dtype=dtype),
+            kv_pages=jnp.zeros(shape, dtype=dtype),
             page_table=table,
             lengths=jnp.zeros((batch_size,), dtype=jnp.int32),
             head_dim=head_dim,
         )
 
+    # convenience views kept for the oracle/tests (no copy: basic slicing)
+    @property
+    def k_pages(self) -> jnp.ndarray:  # [L, P, G, hd_pad, ps]
+        return self.kv_pages[:, :, 0]
+
+    @property
+    def v_pages(self) -> jnp.ndarray:
+        return self.kv_pages[:, :, 1]
+
     @property
     def kv_heads(self) -> int:
-        return self.k_pages.shape[2]
+        return self.kv_pages.shape[3]
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[3]
+        return self.kv_pages.shape[5]
 
     @property
     def pages_per_seq(self) -> int:
         return self.page_table.shape[1]
 
     def _pad_kv(self, x: jnp.ndarray) -> jnp.ndarray:
-        hd_phys = self.k_pages.shape[-1]
-        if x.shape[-1] == hd_phys:
+        """Zero-pad the trailing head_dim axis of [.., hd] to the stored pad."""
+        hd_pad = self.kv_pages.shape[4]
+        if x.shape[-1] == hd_pad:
             return x
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, hd_phys - x.shape[-1])]
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, hd_pad - x.shape[-1])]
         return jnp.pad(x, pad)
 
     def append_token(
         self, layer_idx: int, k_new: jnp.ndarray, v_new: jnp.ndarray
     ) -> "PagedKVCache":
         """Write one token's K/V per sequence at each sequence's current
-        length.  k_new/v_new: [B, G, hd].  ``advance`` separately."""
-        k_new, v_new = self._pad_kv(k_new), self._pad_kv(v_new)
-        b = k_new.shape[0]
+        length, for one layer, through an XLA scatter.  k_new/v_new:
+        [B, G, hd].  ``advance`` separately.
+
+        NOTE: XLA lowers a dynamic lane-offset scatter as a rewrite of the
+        pool (~460 us/layer measured at the 4.2B tier) — the decode hot path
+        instead commits in-kernel (see ``paged_decode_attention`` with
+        ``k_cur``); this method serves the CPU fallback and tests."""
+        kv = jnp.stack(
+            [self._pad_kv(k_new), self._pad_kv(v_new)], axis=1
+        )  # [B, 2, G, hd_pad]
         ps = self.page_size
         # rows already at capacity (lengths == max) would index one page past
-        # the table; clamp so the masked-out pad token can't corrupt slot 0 of
-        # a neighbouring page via XLA's clamped gather
+        # the table; clamp so the masked-out pad token can't corrupt slot 0
+        # of a neighbouring page via XLA's clamped gather
         pos = jnp.minimum(self.lengths, self.pages_per_seq * ps - 1)
-        logical_page = pos // ps  # [B]
-        offset = pos % ps  # [B]
         phys = jnp.take_along_axis(
-            self.page_table, logical_page[:, None], axis=1
-        )[:, 0]  # [B]
-        # advanced indices (phys [B], offset [B]) around the sliced G axis are
-        # non-adjacent, so the broadcast result leads: [B, G, hd]
-        k_pages = self.k_pages.at[layer_idx, phys, :, offset].set(
-            k_new.astype(self.k_pages.dtype)
+            self.page_table, (pos // ps)[:, None], axis=1
+        )[:, 0]
+        # advanced indices (phys [B], offset [B]) around sliced axes are
+        # non-adjacent, so the broadcast result leads: [B, 2, G, hd_pad]
+        kv_pages = self.kv_pages.at[layer_idx, phys, :, :, :, pos % ps].set(
+            kv.astype(self.kv_pages.dtype)
         )
-        v_pages = self.v_pages.at[layer_idx, phys, :, offset].set(
-            v_new.astype(self.v_pages.dtype)
-        )
-        return self.replace(k_pages=k_pages, v_pages=v_pages)
+        return self.replace(kv_pages=kv_pages)
 
     def append_tokens(
         self, layer_idx: int, k_new: jnp.ndarray, v_new: jnp.ndarray
     ) -> "PagedKVCache":
         """Write T tokens per sequence starting at each sequence's current
-        length (prefill).  k_new/v_new: [B, T, G, hd]."""
-        k_new, v_new = self._pad_kv(k_new), self._pad_kv(v_new)
-        b, t = k_new.shape[0], k_new.shape[1]
+        length (prefill; once per generate call).  k_new/v_new: [B, T, G, hd]."""
+        kv = jnp.stack(
+            [self._pad_kv(k_new), self._pad_kv(v_new)], axis=2
+        )  # [B, T, 2, G, hd_pad]
         ps = self.page_size
+        t = k_new.shape[1]
         pos = self.lengths[:, None] + jnp.arange(t)[None, :]  # [B, T]
-        logical_page = pos // ps
-        offset = pos % ps
-        phys = jnp.take_along_axis(self.page_table, logical_page, axis=1)  # [B, T]
-        k_pages = self.k_pages.at[layer_idx, phys, :, offset].set(
-            k_new.astype(self.k_pages.dtype)
+        phys = jnp.take_along_axis(self.page_table, pos // ps, axis=1)
+        kv_pages = self.kv_pages.at[layer_idx, phys, :, :, :, pos % ps].set(
+            kv.astype(self.kv_pages.dtype)
         )
-        v_pages = self.v_pages.at[layer_idx, phys, :, offset].set(
-            v_new.astype(self.v_pages.dtype)
-        )
-        return self.replace(k_pages=k_pages, v_pages=v_pages)
+        return self.replace(kv_pages=kv_pages)
+
+    def gather_dense_t(self, layer_idx: int):
+        """Materialize a layer's pages in the cache-native layout
+        [B, G, hd_pad, S] (a pure reshape of the gathered pages — the
+        prefill path attends via ``cached_decode_attention`` on this view)."""
+        kv = self.kv_pages[layer_idx][self.page_table]  # [B, pps, 2, G, hdp, ps]
+        b, pps, _, g, hdp, ps = kv.shape
+        kv = kv.transpose(2, 0, 3, 4, 1, 5).reshape(2, b, g, hdp, pps * ps)
+        return kv[0], kv[1]
 
     def gather_dense(self, layer_idx: int):
-        """Materialize a layer's pages as dense [B, S, G, hd] buffers
-        (logical head dim; prefill-time convenience — decode uses the paged
-        kernel)."""
-        k = self.k_pages[layer_idx][self.page_table]  # [B, pps, G, ps, hdp]
-        v = self.v_pages[layer_idx][self.page_table]
-        b, pps, g, ps, hdp = k.shape
-        hd = self.head_dim or hdp
-        k = k.transpose(0, 1, 3, 2, 4).reshape(b, pps * ps, g, hdp)[..., :hd]
-        v = v.transpose(0, 1, 3, 2, 4).reshape(b, pps * ps, g, hdp)[..., :hd]
+        """Classic [B, S, G, hd] views (transposed copy; prefer
+        :meth:`gather_dense_t` — head-dim-minor buffers pay the 128-lane
+        tile pad)."""
+        k, v = self.gather_dense_t(layer_idx)
+        hd = self.head_dim or k.shape[2]
+        k = k.transpose(0, 3, 1, 2)[..., :hd]
+        v = v.transpose(0, 3, 1, 2)[..., :hd]
         return k, v
 
     def advance(self, n: int = 1) -> "PagedKVCache":
@@ -184,31 +218,39 @@ class PagedKVCache:
 
 def paged_decode_attention_xla(
     q: jnp.ndarray,
-    k_pages: jnp.ndarray,
-    v_pages: jnp.ndarray,
+    kv_pages: jnp.ndarray,
     page_table: jnp.ndarray,
     lengths: jnp.ndarray,
     *,
     scale: float,
+    k_cur: Optional[jnp.ndarray] = None,
+    v_cur: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Oracle: q [B, Hq, hd]; k/v_pages [P, G, ps, hd_phys] (one layer;
-    hd_phys may be 128-padded — the pad lanes are zero and are sliced off).
+    """Oracle: q [B, Hq, hd]; kv_pages [P, 2, G, hd_pad, ps] (one layer;
+    hd_pad may be 8-sublane padded — the pad rows are zero and sliced off).
+    ``lengths`` counts SETTLED history; when ``k_cur/v_cur`` [B, G, hd] are
+    given the current (not-yet-appended) token is one extra, always-valid
+    attention column.
 
     Gathers each sequence's pages and runs masked attention in fp32."""
     b, hq, hd = q.shape
-    _, g, ps, hd_phys = k_pages.shape
+    _, _, g, hd_pad, ps = kv_pages.shape
     n = hq // g
     pps = page_table.shape[1]
-    # [B, pps, G, ps, hd_phys] -> [B, G, S, hd]
-    k_seq = k_pages[page_table].transpose(0, 2, 1, 3, 4).reshape(
-        b, g, pps * ps, hd_phys
-    )[..., :hd]
-    v_seq = v_pages[page_table].transpose(0, 2, 1, 3, 4).reshape(
-        b, g, pps * ps, hd_phys
-    )[..., :hd]
+    # [B, pps, 2, G, hdp, ps] -> [2, B, G, S, hd]
+    kv = kv_pages[page_table].transpose(2, 0, 3, 4, 1, 5).reshape(
+        2, b, g, hd_pad, pps * ps
+    ).transpose(0, 1, 2, 4, 3)[..., :hd]
+    k_seq, v_seq = kv[0], kv[1]
+    valid = jnp.arange(pps * ps)[None, :] < lengths[:, None]  # [B, S]
+    if k_cur is not None:
+        k_seq = jnp.concatenate([k_seq, k_cur[:, :, None, :]], axis=2)
+        v_seq = jnp.concatenate([v_seq, v_cur[:, :, None, :]], axis=2)
+        valid = jnp.concatenate(
+            [valid, jnp.ones((b, 1), dtype=bool)], axis=1
+        )
     qf = q.reshape(b, g, n, hd).astype(jnp.float32)
     s = jnp.einsum("bgnd,bgsd->bgns", qf, k_seq.astype(jnp.float32)) * scale
-    valid = jnp.arange(pps * ps)[None, :] < lengths[:, None]  # [B, S]
     s = jnp.where(valid[:, None, None, :], s, DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -222,72 +264,134 @@ def _decode_kernel(
     # scalar prefetch
     lengths_ref,
     page_table_ref,
-    # inputs
-    q_ref,
-    k_pages_ref,
-    v_pages_ref,
-    # outputs
-    o_ref,
-    # scratch
-    k_buf,
-    v_buf,
-    sems,
-    *,
+    layer_ref,
+    # inputs (cur_ref present only when has_cur)
+    *refs,
     scale: float,
     page_size: int,
     pages_per_seq: int,
     window: int,
+    rows: int,
     mask_value: float,
+    has_cur: bool,
+    commit: bool,
 ):
-    """Chunked, double-buffered paged decode over grouped pages.
+    """Chunked, double-buffered paged decode over sequence-minor pages.
 
-    Two DMA-efficiency levers vs the naive per-(group, page) design (which
-    measured 6x slower than dense XLA at the 4.2B serving tier):
+    Each grid cell covers ``rows`` sequences so rows*window page copies are
+    in flight per chunk — a one-row cell is bound by the latency of its 2-3
+    sequential page DMAs (measured 350 us/layer at B=128 vs the HBM
+    roofline's ~90 us).  Pages carry K and V together ([2, G, hd, ps]); the
+    hd contraction against q needs no in-VMEM transpose in either matmul.
 
-      * pages carry ALL kv groups ([G, ps, hd]) — one copy per (seq, page)
-        moves G x more bytes, so the copy count drops G-fold and each copy
-        is big enough to amortize DMA latency;
-      * each chunk issues ``window`` page copies at once (they pipeline in
-        the DMA engine) into one of two chunk buffers, and chunk c+1's
-        copies are issued BEFORE computing chunk c — compute and HBM traffic
-        overlap.
-
-    Grid is (batch,); each cell computes all Hq = G*N query heads of one
-    sequence as a G-batched dot_general against its paged history.
+    With ``commit``, each row's current page — already streamed for
+    attention — gets the current token inserted at its lane slot in VMEM
+    and is DMA'd back to the (input/output-aliased) pool: the append never
+    touches XLA's scatter path.
     """
-    b = pl.program_id(0)
-    length = lengths_ref[b]
-    g, n_heads, hd = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
-    w = window  # pages per chunk; pages_per_seq % window == 0 (wrapper)
+    if has_cur:
+        q_ref, cur_ref, pool_ref, o_ref = refs[:4]
+        rest = refs[4:]
+    else:
+        q_ref, pool_ref, o_ref = refs[:3]
+        cur_ref = None
+        rest = refs[3:]
+    if commit:
+        pool_out_ref = rest[0]
+        kv_buf, wbuf, sems, wsems = rest[1:]
+    else:
+        kv_buf, sems = rest
+        wbuf = wsems = None
+    cell = pl.program_id(0)
+    layer = layer_ref[0]
+    g, n_heads, hd = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    w = window
+    ps = page_size
+    rg = rows * g  # Mosaic matmuls take ONE batch dim: fold (rows, G)
 
-    q = q_ref[0].astype(jnp.float32)  # [G, N, hd]
+    q = q_ref[0].astype(jnp.float32).reshape(rg, n_heads, hd)
 
     def issue(c, slot):
         base = c * w
-        for j in range(w):  # static unroll: w copy pairs in flight
-            pid = page_table_ref[b, base + j]
-            pltpu.make_async_copy(
-                k_pages_ref.at[pid], k_buf.at[slot, :, j], sems.at[slot, j, 0]
-            ).start()
-            pltpu.make_async_copy(
-                v_pages_ref.at[pid], v_buf.at[slot, :, j], sems.at[slot, j, 1]
-            ).start()
+        for r in range(rows):
+            for j in range(w):  # static unroll: rows*w copies in flight
+                pid = page_table_ref[cell * rows + r, base + j]
+                pltpu.make_async_copy(
+                    pool_ref.at[layer, pid],
+                    kv_buf.at[slot, r, j],
+                    sems.at[slot, r, j],
+                ).start()
 
     def wait(slot):
-        for j in range(w):
-            pltpu.make_async_copy(
-                k_pages_ref.at[0], k_buf.at[slot, :, j], sems.at[slot, j, 0]
-            ).wait()
-            pltpu.make_async_copy(
-                v_pages_ref.at[0], v_buf.at[slot, :, j], sems.at[slot, j, 1]
-            ).wait()
+        for r in range(rows):
+            for j in range(w):
+                pltpu.make_async_copy(
+                    pool_ref.at[layer, 0],
+                    kv_buf.at[slot, r, j],
+                    sems.at[slot, r, j],
+                ).wait()
 
-    num_used = jax.lax.div(length + page_size - 1, page_size)
-    nc = jax.lax.div(num_used + w - 1, w)  # chunks actually needed
+    # chunk count for the whole cell: the longest row decides; shorter rows
+    # stream (and mask out) their already-allocated pages
+    length = jnp.zeros((), jnp.int32)
+    for r in range(rows):
+        length = jnp.maximum(length, lengths_ref[cell * rows + r])
+    # per-(row*group) length column [RG, 1] for masking the folded scores
+    len_col = jnp.concatenate(
+        [
+            jnp.full((g, 1), lengths_ref[cell * rows + r], jnp.int32)
+            for r in range(rows)
+        ],
+        axis=0,
+    )
+    num_used = jax.lax.div(length + ps - 1, ps)
+    nc = jax.lax.div(num_used + w - 1, w)
 
     @pl.when(nc > 0)
     def _():
         issue(0, 0)
+
+    if has_cur:
+        # seed the online softmax with the current token's (always valid)
+        # column: m = s_cur, l = 1, o = v_cur — no post-loop combine needed
+        cur = cur_ref[0].astype(jnp.float32)  # [rows, 2, G, hd]
+        k_cur = cur[:, 0].reshape(rg, hd)
+        v_cur = cur[:, 1].reshape(rg, hd)
+        s_cur = jax.lax.dot_general(
+            q, k_cur[:, :, None], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [RG, N, 1]
+        m0 = s_cur
+        l0 = jnp.ones((rg, n_heads, 1), jnp.float32)
+        o0 = jnp.broadcast_to(
+            v_cur[:, None, :], (rg, n_heads, hd)
+        ).astype(jnp.float32)
+    else:
+        m0 = jnp.full((rg, n_heads, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((rg, n_heads, 1), jnp.float32)
+        o0 = jnp.zeros((rg, n_heads, hd), jnp.float32)
+
+    # per-row current-slot bookkeeping for the in-kernel append
+    if commit:
+        cur_pos = []
+        for r in range(rows):
+            len_r = lengths_ref[cell * rows + r]
+            pos_r = jnp.minimum(len_r, pages_per_seq * ps - 1)
+            cur_pos.append((pos_r // ps, pos_r % ps))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ps), 3)
+        cur_native = cur_ref[0]  # [rows, 2, G, hd] pool dtype
+
+        def stage_write(r, page_vals):
+            """Insert row r's token into page_vals and DMA it home."""
+            cpage, off = cur_pos[r]
+            ins = jnp.where(
+                lane == off, cur_native[r][:, :, :, None], page_vals
+            )
+            wbuf[r] = ins.astype(wbuf.dtype)
+            pid = page_table_ref[cell * rows + r, cpage]
+            pltpu.make_async_copy(
+                wbuf.at[r], pool_out_ref.at[layer, pid], wsems.at[r]
+            ).start()
 
     def body(c, carry):
         m_acc, l_acc, o_acc = carry
@@ -298,74 +402,118 @@ def _decode_kernel(
             issue(c + 1, jax.lax.rem(c + 1, 2))
 
         wait(slot)
-        # buffers are [G, w, ps, hd] (the DMA scatters each page across the
-        # w axis), so the merge to [G, w*ps, hd] is a pure reshape
-        k = k_buf[slot].reshape(g, w * page_size, hd).astype(jnp.float32)
-        v = v_buf[slot].reshape(g, w * page_size, hd).astype(jnp.float32)
+        if commit:
+            # a row whose current page is in this chunk gets its token
+            # inserted and the page written back (exactly one chunk matches
+            # per row unless the slot opens a fresh page — handled below)
+            for r in range(rows):
+                cpage, off = cur_pos[r]
+                for j in range(w):
 
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [G, N, w*ps]
-        pos = c * w * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (1, w * page_size), 1
-        )[0]
-        valid = pos < length
-        s = jnp.where(valid[None, None, :], s * scale, mask_value)
+                    @pl.when((c * w + j) == cpage)
+                    def _(r=r, j=j):
+                        stage_write(r, kv_buf[slot, r, j])
+
+        # per-page matmuls (w static): kv_buf[slot, :, j, 0] is
+        # [rows, G, hd, ps] -> folded [RG, hd, ps]; the hd contraction
+        # against q needs no in-VMEM transpose of the streamed pages
+        parts = []
+        for j in range(w):
+            kj = kv_buf[slot, :, j, 0].astype(jnp.float32).reshape(
+                rg, hd, ps
+            )
+            parts.append(jax.lax.dot_general(
+                q, kj, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ))  # [RG, N, ps]
+        s = jnp.concatenate(parts, axis=-1) if w > 1 else parts[0]
+        pos = c * w * ps + jax.lax.broadcasted_iota(
+            jnp.int32, (1, w * ps), 1
+        )
+        valid = pos < len_col  # [RG, w*ps]
+        s = jnp.where(valid[:, None, :], s * scale, mask_value)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_acc, m_cur)
         alpha = jnp.exp(m_acc - m_new)
         p = jnp.exp(s - m_new)
-        p = jnp.where(valid[None, None, :], p, 0.0)
+        p = jnp.where(valid[:, None, :], p, 0.0)
         l_new = alpha * l_acc + jnp.sum(p, axis=-1, keepdims=True)
-        o_new = o_acc * alpha + jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        o_new = o_acc * alpha
+        for j in range(w):
+            vj = kv_buf[slot, :, j, 1].astype(jnp.float32).reshape(
+                rg, hd, ps
+            )
+            pj = p[..., j * ps:(j + 1) * ps]
+            o_new = o_new + jax.lax.dot_general(
+                pj, vj, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [RG, N, hd]
         return m_new, l_new, o_new
 
-    m0 = jnp.full((g, n_heads, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((g, n_heads, 1), jnp.float32)
-    o0 = jnp.zeros((g, n_heads, hd), jnp.float32)
     m, l, o = jax.lax.fori_loop(0, nc, body, (m0, l0, o0))
+
+    if commit:
+        # a row whose current page was NEVER streamed (it lies beyond the
+        # cell's nc*w streamed pages — possible only when the slot opens a
+        # fresh page, which holds no history) writes cur into an empty page.
+        # Rows whose fresh page WAS streamed (a longer row in the cell set
+        # nc) already committed inside the loop — exactly one write per row.
+        zeros = jnp.zeros((2, g, hd, ps), wbuf.dtype)
+        for r in range(rows):
+            cpage, _ = cur_pos[r]
+
+            @pl.when(cpage >= nc * w)
+            def _(r=r):
+                stage_write(r, zeros)
+
+        for r in range(rows):  # exactly one write per row was started
+            pltpu.make_async_copy(
+                wbuf.at[r], pool_out_ref.at[layer, 0], wsems.at[r]
+            ).wait()
+
     l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (o / l_safe).astype(o_ref.dtype)
+    o_ref[0] = (o / l_safe).reshape(rows, g, n_heads, hd).astype(o_ref.dtype)
 
 
-def paged_decode_attention(
-    q: jnp.ndarray,
-    k_pages: jnp.ndarray,
-    v_pages: jnp.ndarray,
-    page_table: jnp.ndarray,
-    lengths: jnp.ndarray,
-    *,
-    scale: float,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Pallas paged decode: q [B, Hq, hd] -> [B, Hq, hd] (one layer).
-
-    The page pools may carry a 128-padded physical head dim; q is zero-padded
-    to match inside (exact: pad lanes contribute nothing to q·k, and v's pad
-    lanes are zero so the output pad is zero and sliced off)."""
-    if not _HAS_PLTPU:
-        return paged_decode_attention_xla(
-            q, k_pages, v_pages, page_table, lengths, scale=scale
-        )
+def _run_decode_kernel(
+    q, kv_pages, layer_idx, page_table, lengths, *, scale,
+    k_cur=None, v_cur=None, commit=False, interpret=False,
+):
+    """Shared pallas_call builder.  kv_pages: the FULL pool
+    [L, P, 2, G, hd_pad, ps]; returns (out, new_pool) when commit else out."""
+    has_cur = k_cur is not None
     b, hq, hd = q.shape
-    _, g, ps, hd_phys = k_pages.shape
+    _, _, _, g, hd_pad, ps = kv_pages.shape
     n = hq // g
     pps = page_table.shape[1]
-    q_in = q.reshape(b, g, n, hd)
-    if hd != hd_phys:
-        q_in = jnp.pad(q_in, ((0, 0), (0, 0), (0, 0), (0, hd_phys - hd)))
 
-    # pages per DMA chunk: largest power of two <= 8 dividing pages_per_seq
-    window = 1
+    def padded(x):
+        if x.shape[-1] == hd_pad:
+            return x
+        return jnp.pad(
+            x, [(0, 0)] * (x.ndim - 1) + [(0, hd_pad - x.shape[-1])]
+        )
+
+    q_in = padded(q.reshape(b, g, n, hd))
+    cur_in = None
+    if has_cur:
+        cur_in = jnp.stack(
+            [padded(k_cur), padded(v_cur)], axis=1
+        ).astype(kv_pages.dtype)  # [B, 2, G, hd_pad]
+
+    # rows per grid cell / pages per chunk: target ~8 page copies in flight
+    rows = 1
     for cand in (8, 4, 2):
-        if pps % cand == 0:
-            window = cand
+        if b % cand == 0:
+            rows = cand
             break
+    window = 1
+    if rows < 8:
+        for cand in (2,):
+            if pps % cand == 0 and rows * cand <= 8:
+                window = cand
+                break
 
     kernel = functools.partial(
         _decode_kernel,
@@ -373,30 +521,133 @@ def paged_decode_attention(
         page_size=ps,
         pages_per_seq=pps,
         window=window,
+        rows=rows,
         mask_value=DEFAULT_MASK_VALUE,
+        has_cur=has_cur,
+        commit=commit,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, g, n, hd_phys), lambda b_, *_: (b_, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, g, n, hd_phys), lambda b_, *_: (b_, 0, 0, 0)
+    in_specs = [
+        pl.BlockSpec(
+            (1, rows, g, n, hd_pad), lambda c, *_: (c, 0, 0, 0, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, g, window, ps, hd_phys), k_pages.dtype),
-            pltpu.VMEM((2, g, window, ps, hd_phys), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, window, 2)),
-        ],
+    ]
+    inputs = [q_in.reshape(b // rows, rows, g, n, hd_pad)]
+    if has_cur:
+        in_specs.append(
+            pl.BlockSpec((1, rows, 2, g, hd_pad), lambda c, *_: (c, 0, 0, 0, 0))
+        )
+        inputs.append(cur_in.reshape(b // rows, rows, 2, g, hd_pad))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    inputs.append(kv_pages)
+
+    o_spec = pl.BlockSpec(
+        (1, rows, g, n, hd_pad), lambda c, *_: (c, 0, 0, 0, 0)
+    )
+    o_shape = jax.ShapeDtypeStruct((b // rows, rows, g, n, hd_pad), q.dtype)
+    out_specs = o_spec
+    out_shape = o_shape
+    io_aliases = {}
+    scratch = [
+        pltpu.VMEM((2, rows, window, 2, g, hd_pad, ps), kv_pages.dtype),
+        pltpu.SemaphoreType.DMA((2, rows, window)),
+    ]
+    if commit:
+        out_specs = [o_spec, pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = [o_shape, jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype)]
+        # aliasing indices count scalar-prefetch operands: inputs are
+        # (lengths, table, layer, q, cur, pool) -> pool is 5; outputs (o, pool)
+        io_aliases = {5: 1}
+        scratch = scratch[:1] + [
+            pltpu.VMEM((rows, 2, g, hd_pad, ps), kv_pages.dtype),
+        ] + scratch[1:] + [pltpu.SemaphoreType.DMA((rows,))]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b // rows,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, g, n, hd_phys), q.dtype),
+        out_shape=out_shape,
+        input_output_aliases=io_aliases,
         interpret=interpret,
-    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), q_in,
-      k_pages, v_pages)
-    return out[..., :hd].reshape(b, hq, hd)
+        compiler_params=(
+            None if interpret else pltpu.CompilerParams(has_side_effects=True)
+        ),
+    )(
+        lengths.astype(jnp.int32),
+        page_table.astype(jnp.int32),
+        jnp.asarray([layer_idx], jnp.int32),
+        *inputs,
+    )
+    if commit:
+        o, new_pool = out
+        return o.reshape(b, g, n, hd_pad)[..., :hd].reshape(b, hq, hd), new_pool
+    return out.reshape(b, g, n, hd_pad)[..., :hd].reshape(b, hq, hd)
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,
+    kv_pages: jnp.ndarray,
+    page_table: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    scale: float,
+    k_cur: Optional[jnp.ndarray] = None,
+    v_cur: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas paged decode WITHOUT cache commit: q [B, Hq, hd] -> same.
+
+    kv_pages: ONE layer's pool [P, 2, G, hd_pad, ps].  ``lengths`` counts
+    settled history; optional ``k_cur/v_cur`` [B, G, hd] add the current
+    token as one extra always-valid column (not written anywhere).
+    """
+    if not _HAS_PLTPU:
+        return paged_decode_attention_xla(
+            q, kv_pages, page_table, lengths, scale=scale,
+            k_cur=k_cur, v_cur=v_cur,
+        )
+    return _run_decode_kernel(
+        q, kv_pages[None], 0, page_table, lengths, scale=scale,
+        k_cur=k_cur, v_cur=v_cur, commit=False, interpret=interpret,
+    )
+
+
+def paged_decode_attention_commit(
+    q: jnp.ndarray,
+    kv_pages: jnp.ndarray,
+    layer_idx,
+    page_table: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    scale: float,
+    k_cur: jnp.ndarray,
+    v_cur: jnp.ndarray,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Serving hot path: attend the paged history + current token AND commit
+    the token into its page, in one kernel.
+
+    kv_pages: the FULL pool [L, P, 2, G, hd_pad, ps] (input/output-aliased —
+    under jit the update is in place).  Returns (out [B, Hq, hd], new pool).
+    ``lengths`` counts settled history; the committed slot is
+    ``lengths[b]`` (clamped at capacity, mirroring ``append_token``).
+    """
+    if not _HAS_PLTPU:
+        out = paged_decode_attention_xla(
+            q, kv_pages[layer_idx], page_table, lengths, scale=scale,
+            k_cur=k_cur, v_cur=v_cur,
+        )
+        tmp = PagedKVCache(
+            kv_pages=kv_pages, page_table=page_table, lengths=lengths,
+            head_dim=q.shape[-1],
+        ).append_token(layer_idx, k_cur, v_cur)
+        return out, tmp.kv_pages
+    return _run_decode_kernel(
+        q, kv_pages, layer_idx, page_table, lengths, scale=scale,
+        k_cur=k_cur, v_cur=v_cur, commit=True, interpret=interpret,
+    )

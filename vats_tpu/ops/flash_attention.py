@@ -107,18 +107,73 @@ def _fwd_kernel(
     if left_window >= 0:
         run = jnp.logical_and(run, k_start + block_k - 1 >= q_start - left_window)
 
-    @pl.when(run)
-    def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # [block_q, d]
-        k = k_ref[0, 0].astype(jnp.float32)  # [block_k, d]
+    # interior blocks need NO masking at all (every (q, k) pair inside the
+    # causal/window bounds and every kv column valid): the per-element
+    # iota/compare/where battery costs more VPU time than the MXU matmul at
+    # large blocks, so skipping it on interior blocks is most of the gap to
+    # the speed-of-light kernel
+    interior = jnp.logical_not(jnp.asarray(use_segids))
+    if causal:
+        interior = jnp.logical_and(interior, k_start + block_k - 1 <= q_start)
+    elif right_window >= 0:
+        interior = jnp.logical_and(
+            interior, (k_start + block_k - 1) - q_start <= right_window
+        )
+    if left_window >= 0:
+        interior = jnp.logical_and(
+            interior, (q_start + block_q - 1) - k_start <= left_window
+        )
+    interior = jnp.logical_and(interior, jnp.all(valid_ref[b_idx] != 0))
+
+    def _online_update(s, mask):
+        """One streaming-softmax update from scores s ([block_q, block_k],
+        already scaled and masked when mask is not None)."""
+        m_prev = m_scratch[...]  # [block_q, NUM_LANES]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+
+        alpha = jnp.exp(m_prev - m_next)  # correction for old stats
+        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+        if mask is not None:
+            # fully-masked rows: p is exp(mask_value - mask_value) = 1
+            # there; zero them out via the mask to keep l exact
+            p = jnp.where(mask, p, 0.0)
+
+        l_curr = jnp.sum(p, axis=-1, keepdims=True)  # [block_q, 1]
+        l_next = alpha * l_prev + jnp.broadcast_to(l_curr, l_prev.shape)
+
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        v = v_ref[0, 0]  # [block_k, d]
+        # p rounds to v's dtype for the MXU (flash-standard; exact for fp32)
+        o_curr = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+
+    def _scores():
+        # keep q/k in their storage dtype: bf16 x bf16 -> fp32 runs the MXU
+        # at full rate (an fp32 upcast here measured 0.88x vs XLA at the
+        # bench shape; softmax statistics stay fp32)
+        q = q_ref[0, 0]  # [block_q, d]
+        k = k_ref[0, 0]  # [block_k, d]
         s = jax.lax.dot_general(
             q,
             k,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [block_q, block_k]
-        s = s * scale
+        return s * scale
 
+    @pl.when(jnp.logical_and(run, interior))
+    def _compute_interior():
+        _online_update(_scores(), None)
+
+    @pl.when(jnp.logical_and(run, jnp.logical_not(interior)))
+    def _compute_masked():
+        s = _scores()
         q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
         k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)[0, :]
         mask = _block_mask(
@@ -135,27 +190,7 @@ def _fwd_kernel(
             # packed sequences: tokens attend only within their own segment
             mask &= qseg_ref[b_idx][:, None] == kseg_ref[b_idx][None, :]
         s = jnp.where(mask, s, mask_value)
-
-        m_prev = m_scratch[...]  # [block_q, NUM_LANES]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-
-        alpha = jnp.exp(m_prev - m_next)  # correction for old stats
-        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
-        # fully-masked rows: p is exp(mask_value - mask_value) = 1 there;
-        # zero them out via the mask to keep l exact
-        p = jnp.where(mask, p, 0.0)
-
-        l_curr = jnp.sum(p, axis=-1, keepdims=True)  # [block_q, 1]
-        l_next = alpha * l_prev + jnp.broadcast_to(l_curr, l_prev.shape)
-
-        m_scratch[...] = m_next
-        l_scratch[...] = l_next
-
-        v = v_ref[0, 0].astype(jnp.float32)  # [block_k, d]
-        o_curr = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+        _online_update(s, mask)
 
     @pl.when(kv_blk == num_kv_blocks - 1)
     def _store():
@@ -228,10 +263,11 @@ def _bwd_dkv_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
-        do = do_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)  # [bk, d]
-        v = v_ref[0, 0].astype(jnp.float32)
+        # storage-dtype matmul inputs (bf16 MXU path), fp32 accumulation
+        q = q_ref[0, 0]  # [bq, d]
+        do = do_ref[0, 0]
+        k = k_ref[0, 0]  # [bk, d]
+        v = v_ref[0, 0]
         lse = lse_ref[0, 0][0]  # [bq]
         di = di_ref[0, 0][0]  # [bq]
 
@@ -251,14 +287,16 @@ def _bwd_dkv_kernel(
         p = jnp.where(mask, p, 0.0)  # [bq, bk]
 
         dv_acc[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # p^T @ do -> [bk, d]
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk]
         ds = p * (dp - di[:, None]) * scale
         dk_acc[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # ds^T @ q -> [bk, d]
 
     @pl.when(inner == num_inner - 1)
@@ -302,10 +340,10 @@ def _bwd_dq_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
         lse = lse_ref[0, 0][0]
         di = di_ref[0, 0][0]
 
@@ -328,7 +366,7 @@ def _bwd_dq_kernel(
         )
         ds = p * (dp - di[:, None]) * scale
         dq_acc[...] += jax.lax.dot(
-            ds, k, preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
     @pl.when(kv_blk == num_kv_blocks - 1)
@@ -490,8 +528,17 @@ def _flash_bwd_rule(
     g, s = k.shape[1], k.shape[2]
     ratio = hq // g
 
+    # the backward kernels keep ~3x the forward's live VMEM (q/do/k/v blocks
+    # + two fp32 [bq, bk] intermediates); cap their blocks at 512
+    # independently of the forward's (the forward is fastest at 1024)
+    block_q = min(block_q, 512)
+    block_k = min(block_k, 512)
+
     t_pad = max(block_q, ((t + block_q - 1) // block_q) * block_q)
     s_pad = max(block_k, ((s + block_k - 1) // block_k) * block_k)
+    # lse was stored at the FORWARD's t_pad granularity; re-pad to ours.
+    # Pad rows are harmless: their do rows are zero, so p^T@do and ds are 0.
+    lse = _pad_to(lse[:, :, :, :t], t_pad, 3)
     qp = _pad_to(q, t_pad, 2)
     dop = _pad_to(do, t_pad, 2)
     kp = _pad_to(k, s_pad, 2)
@@ -617,8 +664,8 @@ def flash_attention(
     kv_valid: Optional[jnp.ndarray] = None,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Public API matching ops.dot_product_attention layouts.

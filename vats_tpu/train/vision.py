@@ -40,14 +40,17 @@ class VisionTrainingArgs:
     label_smoothing: float = 0.1
     grad_accum_steps: int = 4
     use_augmentation: bool = True
-    # on-device pixel battery (reference setup_data.py:25-39 host transforms
-    # RandomRotation(15)/AutoAugment(IMAGENET)/RandomErasing, moved into the
-    # jitted step; see vats_tpu/data/pixel_augs.py)
+    # augmentation battery knobs (reference setup_data.py:25-39).  Host path:
+    # pass these into data.vision_data.setup_data_loaders (the vit2d script
+    # does).  Device path: set pixel_augs_on_device=True AND build the loader
+    # with raw_images=True (crop/flip-only [0, 1] batches) — the battery then
+    # runs inside the jitted step (vats_tpu/data/pixel_augs.py).  color_jitter
+    # is host-only (no on-device ColorJitter op).
     auto_augment: bool = True
     random_rotation_degrees: float = 15.0
     random_erasing_prob: float = 0.4
-    color_jitter: float = 0.4  # host-side loader knob (vision_data.py)
-    pixel_augs_on_device: bool = False  # True: run the battery in the step
+    color_jitter: float = 0.4
+    pixel_augs_on_device: bool = False
     seed: int = 42
 
 
