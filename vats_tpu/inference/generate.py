@@ -163,6 +163,7 @@ def generate(
         "eos_token_id",
         "total_len",
         "page_size",
+        "approx_top_k",
     ),
 )
 def generate_paged(
@@ -182,6 +183,7 @@ def generate_paged(
     eos_token_id: Optional[int] = None,
     total_len: Optional[int] = None,
     page_size: int = 128,
+    approx_top_k: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ragged-batch generation over a paged KV cache.
 
@@ -246,6 +248,7 @@ def generate_paged(
             repetition_penalty=repetition_penalty,
             generated_ids=tokens,
             generated_valid=valid,
+            approx_top_k=approx_top_k,
         )
         # rows that would overflow their buffer stop generating
         room = cache.lengths < total_len

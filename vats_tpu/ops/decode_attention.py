@@ -379,13 +379,16 @@ def _decode_kernel(
             pos_r = jnp.minimum(len_r, pages_per_seq * ps - 1)
             cur_pos.append((pos_r // ps, pos_r % ps))
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ps), 3)
-        cur_native = cur_ref[0]  # [rows, 2, G, hd] pool dtype
+        # fp32 staging: Mosaic only supports non-no-op minor-dim insertion
+        # ([2, G, hd] -> [2, G, hd, 1]) for 32-bit types
+        cur_f32 = cur_ref[0].astype(jnp.float32)  # [rows, 2, G, hd]
 
         def stage_write(r, page_vals):
             """Insert row r's token into page_vals and DMA it home."""
             cpage, off = cur_pos[r]
             ins = jnp.where(
-                lane == off, cur_native[r][:, :, :, None], page_vals
+                lane == off, cur_f32[r][:, :, :, None],
+                page_vals.astype(jnp.float32),
             )
             wbuf[r] = ins.astype(wbuf.dtype)
             pid = page_table_ref[cell * rows + r, cpage]
