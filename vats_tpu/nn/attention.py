@@ -309,6 +309,11 @@ class Attention(nn.Module):
                     kv_valid = self._merge_padding(
                         kv_valid, padding_mask, start, b, new_cache.max_seq_len
                     )
+            hd = q.shape[-1]
+            if k_buf.shape[2] != hd:  # stored pad rows are zero; pad q
+                q = jnp.pad(
+                    q, ((0, 0), (0, 0), (0, 0), (0, k_buf.shape[2] - hd))
+                )
             out = cached_decode_attention(
                 q,
                 k_buf,
@@ -320,7 +325,7 @@ class Attention(nn.Module):
                 q_positions=positions,
                 kv_positions=jnp.arange(new_cache.max_seq_len),
                 kv_valid=kv_valid,
-            )
+            )[..., :hd]
 
         out = out.reshape(b, t, self.num_heads * self.head_dim)
         out = with_logical_constraint(
