@@ -90,7 +90,19 @@ def generate(
     valid = jnp.zeros((b, total_len), dtype=bool)
     valid = jax.lax.dynamic_update_slice(valid, attention_mask, (0, 0))
 
-    cache = model.init_cache(b, total_len)
+    # sliding-window models get a ring cache: the buffer holds only the most
+    # recent window-sized slots, so decode at 32k context reads (and fits)
+    # a ~window-sized cache instead of a context-sized one.  Static decision:
+    # cfg.left_window and total_len are compile-time constants.
+    from vats_tpu.nn.kv_cache import ring_slots_for_window
+
+    lw = cfg.left_window if cfg.left_window is not None else -1
+    if not getattr(cfg, "apply_window_in_xla", True):
+        lw = -1  # window not enforced in attention -> ring would drop keys
+    if lw >= 0 and ring_slots_for_window(lw) < total_len:
+        cache = model.init_cache(b, ring_slots_for_window(lw), ring=True)
+    else:
+        cache = model.init_cache(b, total_len)
 
     # prefill over the whole prompt; logits only at the last *valid* prompt
     # position per row (right padding) — skips the [B, T, V] readout

@@ -278,7 +278,16 @@ class TextLM(nn.Module):
         }
         return p
 
-    def init_cache(self, batch_size: int, max_seq_len: Optional[int] = None) -> KVCache:
+    def init_cache(
+        self,
+        batch_size: int,
+        max_seq_len: Optional[int] = None,
+        ring: bool = False,
+    ) -> KVCache:
+        """``ring=True`` allocates a sliding-window ring buffer of
+        ``max_seq_len`` SLOTS (callers size it from the SWA window via
+        ``kv_cache.ring_slots_for_window``); decode at any context depth
+        then reads a window-sized buffer."""
         cfg = self.cfg
         return KVCache.create(
             num_layers=cfg.num_layers,
@@ -287,4 +296,5 @@ class TextLM(nn.Module):
             kv_heads=cfg.query_groups,
             head_dim=cfg.head_dim,
             dtype=resolve_dtype(cfg.dtype),
+            ring=ring,
         )

@@ -298,6 +298,17 @@ class Attention(nn.Module):
             q = self._apply_rope(q, positions, grid_shape, rope_angles)
             k = self._apply_rope(k, positions, grid_shape, rope_angles)
             new_cache = cache.update_layer(layer_idx, k, v)
+            if cache.ring:
+                out = self._ring_cached_attention(
+                    q, k, v, new_cache, positions, padding_mask, scale,
+                    causal, left_window, right_window, b, t, layer_idx,
+                )
+                out = out.reshape(b, t, self.num_heads * self.head_dim)
+                out = with_logical_constraint(
+                    out,
+                    ("activation_batch", "activation_seq", "activation_embed"),
+                )
+                return self.w_o(out), new_cache
             k_buf, v_buf = new_cache.layer_t(layer_idx)
             kv_valid = new_cache.valid_mask(b, extra=t)
             if padding_mask is not None:
@@ -332,6 +343,77 @@ class Attention(nn.Module):
             out, ("activation_batch", "activation_seq", "activation_embed")
         )
         return self.w_o(out), new_cache
+
+    def _ring_cached_attention(
+        self, q, k, v, cache, positions, padding_mask, scale,
+        causal, left_window, right_window, b, t, layer_idx,
+    ):
+        """Attention against a sliding-window ring cache (KVCache.ring).
+
+        The ring holds only the most recent ``S`` positions (slot =
+        absolute_position % S), so 32k-context SWA decode reads a
+        window-sized buffer instead of a context-sized one.  Two regimes:
+
+          * prefill (t > 1): supported from an EMPTY cache only (the
+            generation loop's usage) — attention runs locally on this
+            window's q/k/v (every key a prompt query may attend is in hand;
+            older-than-ring keys were dropped from storage but no query
+            needs them: the window bound is <= ring slots by construction).
+          * decode (t == 1): attend the ring buffer with each slot's
+            ABSOLUTE position reconstructed from the ring arithmetic, so the
+            causal + sliding-window masks apply unchanged.
+        """
+        hd = q.shape[-1]
+        if t > 1:
+            # local prefill; [B, total_len] validity masks slice to this
+            # window (prefill occupies absolute positions [0, t))
+            kv_valid = None
+            if padding_mask is not None:
+                kv_valid = padding_mask.astype(bool)[:, :t]
+            impl = select_attention_impl(self.impl, head_dim=hd)
+            if impl in ("flash", "flash_interpret"):
+                from vats_tpu.ops.flash_attention import flash_attention
+
+                return flash_attention(
+                    q, k, v, scale=scale, causal=causal,
+                    left_window=left_window, right_window=right_window,
+                    kv_valid=kv_valid,
+                    interpret=(impl == "flash_interpret"),
+                )
+            return dot_product_attention(
+                q, k, v, scale=scale, causal=causal,
+                left_window=left_window, right_window=right_window,
+                kv_valid=kv_valid,
+            )
+        k_buf, v_buf = cache.layer_t(layer_idx)
+        s = cache.max_seq_len
+        slot_pos = cache.slot_positions(extra=t)  # [S] absolute, <0 unwritten
+        kv_valid = jnp.broadcast_to(slot_pos[None, :] >= 0, (b, s))
+        if padding_mask is not None and padding_mask.shape[-1] != s:
+            # [B, total_len] absolute validity: gather at each slot's position
+            gathered = jnp.take_along_axis(
+                padding_mask.astype(bool),
+                jnp.broadcast_to(
+                    jnp.clip(slot_pos, 0, padding_mask.shape[-1] - 1)[None, :],
+                    (b, s),
+                ),
+                axis=1,
+            )
+            kv_valid = kv_valid & gathered
+        elif padding_mask is not None:
+            kv_valid = kv_valid & padding_mask.astype(bool)
+        if k_buf.shape[2] != hd:  # stored pad rows are zero; pad q
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, k_buf.shape[2] - hd)))
+        return cached_decode_attention(
+            q, k_buf, v_buf,
+            scale=scale,
+            causal=causal,
+            left_window=left_window,
+            right_window=right_window,
+            q_positions=positions,
+            kv_positions=slot_pos,
+            kv_valid=kv_valid,
+        )[..., :hd]
 
     def _maybe_context_parallel(
         self, q, k, v, scale, causal, left_window, right_window,

@@ -43,12 +43,25 @@ def _pad_head_dim(head_dim: int) -> int:
     return -(-head_dim // 8) * 8
 
 
+def ring_slots_for_window(left_window: int, min_extra: int = 1) -> int:
+    """Buffer slots for a sliding-window ring cache: the window plus the
+    current token, rounded up to the 128-lane tile (the Pallas in-place
+    append addresses whole sequence tiles)."""
+    return -(-(left_window + min_extra) // 128) * 128
+
+
 @struct.dataclass
 class KVCache:
     k: jnp.ndarray  # [L, B, G, hd_pad, S]
     v: jnp.ndarray  # [L, B, G, hd_pad, S]
     length: jnp.ndarray  # int32 scalar: number of valid positions
     head_dim: int = struct.field(pytree_node=False, default=0)  # logical hd
+    # Sliding-window ring mode: the buffer holds only the most recent S
+    # positions; slot = absolute_position % S.  Decode at 32k context then
+    # costs the same HBM as decode at S — the TPU-native answer to the
+    # reference xlarge tier's max_seq_len=32768 + left_window<=1024 SWA
+    # (/root/reference/configs/transformers/nlp/model_args/model_args_xlarge.py).
+    ring: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(
@@ -59,6 +72,7 @@ class KVCache:
         kv_heads: int,
         head_dim: int,
         dtype: Any = jnp.bfloat16,
+        ring: bool = False,
     ) -> "KVCache":
         shape = (
             num_layers, batch_size, kv_heads, _pad_head_dim(head_dim),
@@ -69,6 +83,7 @@ class KVCache:
             v=jnp.zeros(shape, dtype=dtype),
             length=jnp.zeros((), dtype=jnp.int32),
             head_dim=head_dim,
+            ring=ring,
         )
 
     @property
@@ -91,7 +106,9 @@ class KVCache:
         """
         k_new = self._pad_kv(k_new)
         v_new = self._pad_kv(v_new)
-        if k_new.shape[1] == 1 and self.max_seq_len % 128 == 0:
+        s = self.max_seq_len
+        write_pos = self.length % s if self.ring else self.length
+        if k_new.shape[1] == 1 and s % 128 == 0:
             from vats_tpu.ops import cache_append
 
             if cache_append.supported():
@@ -99,15 +116,40 @@ class KVCache:
                     self.k, self.v, layer_idx,
                     k_new[:, 0].astype(self.k.dtype),
                     v_new[:, 0].astype(self.v.dtype),
-                    self.length,
+                    write_pos,
                 )
                 return self.replace(k=k, v=v)
+        if self.ring and k_new.shape[1] > 1:
+            # prefill into the ring: only the most recent S positions can
+            # survive; write them at their modulo slots (unique since <= S)
+            t = k_new.shape[1]
+            keep = min(t, s)
+            pos0 = self.length + (t - keep)
+            slots = (pos0 + jnp.arange(keep)) % s  # [keep], unique
+            # advanced index between slices -> the indexed axis leads: the
+            # update operand is [keep, B, G, hd]
+            k_t = jnp.transpose(k_new[:, -keep:], (1, 0, 2, 3))
+            v_t = jnp.transpose(v_new[:, -keep:], (1, 0, 2, 3))
+            k = self.k.at[layer_idx, :, :, :, slots].set(k_t.astype(self.k.dtype))
+            v = self.v.at[layer_idx, :, :, :, slots].set(v_t.astype(self.v.dtype))
+            return self.replace(k=k, v=v)
         k_t = jnp.transpose(k_new, (0, 2, 3, 1))[None]  # [1, B, G, hd, T]
         v_t = jnp.transpose(v_new, (0, 2, 3, 1))[None]
-        start = (layer_idx, 0, 0, 0, self.length)
+        start = (layer_idx, 0, 0, 0, write_pos)
         k = jax.lax.dynamic_update_slice(self.k, k_t.astype(self.k.dtype), start)
         v = jax.lax.dynamic_update_slice(self.v, v_t.astype(self.v.dtype), start)
         return self.replace(k=k, v=v)
+
+    def slot_positions(self, extra: int = 0) -> jnp.ndarray:
+        """[S] int32: absolute position held by each ring slot, counting
+        ``extra`` tokens appended this step; -ve for never-written slots.
+
+        Slot s holds the largest position p with p % S == s and
+        p < length + extra (each append overwrites its residue class)."""
+        s = self.max_seq_len
+        total = self.length + extra
+        slot = jnp.arange(s, dtype=jnp.int32)
+        return slot + ((total - 1 - slot) // s) * s
 
     def _pad_kv(self, x: jnp.ndarray) -> jnp.ndarray:
         """Zero-pad [..., hd] to the stored 8-granule head dim."""
