@@ -1,8 +1,23 @@
 #!/usr/bin/env python
-"""Benchmark: MoE LM training-step throughput (tokens/sec/chip).
+"""Benchmark: MoE LM training-step throughput and MFU (tokens/sec/chip).
 
-One donated-state jitted step (fwd + bwd + AdamW) at bench.py's model shapes.
-Prints one JSON line.
+One donated-state jitted step (fwd + bwd + AdamW) at the largest
+reference-tier model that trains on one v5e's 16 GB HBM:
+
+  * tier 'medium_dense' (default on TPU): the reference-medium shapes
+    (d1440 / 24h / 8g / 20L / vocab 65536,
+    /root/reference/configs/transformers/nlp/model_args/model_args_medium.py)
+    with a dense FFN — ~0.88 B params.  fp32 AdamW state is 12 B/param; the
+    full E=8 bench tier (4.19 B) cannot hold params+optimizer on one chip
+    (training it is the multi-chip FSDP/EP path, tests/test_multichip.py).
+  * tier 'toy': round-1's d512/8L shapes (kept for CPU smoke / history).
+
+MFU counts fwd+bwd matmul FLOPs (6 * P_active per token) plus the attention
+scores/values FLOPs at the bench sequence length.  Prints one JSON line.
+
+Env: BENCH_TRAIN_TIER=medium_dense|toy  BENCH_TRAIN_BATCH  BENCH_TRAIN_SEQ
+     BENCH_TRAIN_EXPERTS / BENCH_TRAIN_DISPATCH (expert-count overrides)
+     BENCH_TRAIN_REMAT=0|1
 """
 
 import json
@@ -12,9 +27,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH = 16
-SEQ_LEN = 512
 N_ITERS = 10
+PEAK_FLOPS = 197e12  # v5e bf16
 
 
 def main():
@@ -26,38 +40,55 @@ def main():
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache"),
     )
-    from tools.bench_shapes import BENCH_CFG
-    from vats_tpu.configs import ModelArgs, TrainingArgs
+    from vats_tpu.configs import ModelArgs, TrainingArgs, nlp_medium
     from vats_tpu.data import synthetic_lm_batches
     from vats_tpu.models import TextLM
     from vats_tpu.train import create_optimizer, create_train_state, make_train_step
 
-    shapes = dict(BENCH_CFG)
-    # reference-large-tier expert count (E=32 top-2) through the sort-based
-    # ragged dispatch: BENCH_TRAIN_EXPERTS=32 BENCH_TRAIN_DISPATCH=sort
-    if os.environ.get("BENCH_TRAIN_EXPERTS"):
-        shapes["num_experts"] = int(os.environ["BENCH_TRAIN_EXPERTS"])
-    cfg = ModelArgs(
-        dropout=0.1,
-        left_window=-1,
-        use_mqa=False,
-        gradient_checkpointing=False,
-        moe_dispatch=os.environ.get("BENCH_TRAIN_DISPATCH", "scatter"),
-        capacity_factor=1.25,
-        **shapes,
+    on_tpu = jax.default_backend() == "tpu"
+    tier = os.environ.get(
+        "BENCH_TRAIN_TIER", "medium_dense" if on_tpu else "toy"
     )
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    seq_len = int(os.environ.get("BENCH_TRAIN_SEQ", "512"))
+    experts = int(os.environ.get("BENCH_TRAIN_EXPERTS", "0"))
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "1") == "1"
+    dispatch = os.environ.get("BENCH_TRAIN_DISPATCH", "auto")
+
+    if tier == "medium_dense":
+        cfg = nlp_medium(
+            dropout=0.1, left_window=-1, use_mqa=False,
+            num_experts=experts or 1, top_k=min(2, experts or 1),
+            gradient_checkpointing=remat, moe_dispatch=dispatch,
+            capacity_factor=1.25, max_seq_len=seq_len, scan_layers=False,
+        )
+    else:
+        from tools.bench_shapes import BENCH_CFG
+
+        shapes = dict(BENCH_CFG)
+        if experts:
+            shapes["num_experts"] = experts
+        cfg = ModelArgs(
+            dropout=0.1, left_window=-1, use_mqa=False,
+            gradient_checkpointing=remat and tier != "toy",
+            moe_dispatch=dispatch, capacity_factor=1.25, **shapes,
+        )
+
     model = TextLM(cfg)
     targs = TrainingArgs(grad_accum_steps=1)
     tx = create_optimizer(targs, 1000)
     state = create_train_state(
         model, tx, jax.random.PRNGKey(0),
-        jnp.zeros((BATCH, SEQ_LEN), jnp.int32),
+        jnp.zeros((batch, seq_len), jnp.int32),
+    )
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.params)
     )
     step = make_train_step(model, targs)
     batches = list(
         synthetic_lm_batches(
             jax.random.PRNGKey(1), vocab_size=cfg.vocab_size,
-            batch_size=BATCH, seq_len=SEQ_LEN, num_batches=N_ITERS + 1,
+            batch_size=batch, seq_len=seq_len, num_batches=N_ITERS + 1,
         )
     )
     rng = jax.random.PRNGKey(2)
@@ -70,16 +101,33 @@ def main():
         state, m = step(state, batches[i], srng)
     jax.device_get(m["loss"])
     dt = time.perf_counter() - t0
-    toks = BATCH * SEQ_LEN * N_ITERS
+    toks = batch * seq_len * N_ITERS
+    tps = toks / dt
+
+    # fwd+bwd FLOPs/token: 6 * active params (top_k of E experts + the rest)
+    # + attention scores/values: fwd 4*L*H*hd*T_avg, bwd 2x.
+    expert_params = cfg.num_layers * 3 * cfg.d_model * cfg.d_ffn * cfg.num_experts
+    active = n_params - expert_params + (
+        cfg.num_layers * 3 * cfg.d_model * cfg.d_ffn * max(cfg.top_k, 1)
+    )
+    attn_flops = 3 * (4 * cfg.num_layers * cfg.num_heads * cfg.head_dim * (seq_len / 2))
+    flops_per_tok = 6 * active + attn_flops
+    mfu = tps * flops_per_tok / PEAK_FLOPS
+
     print(
         json.dumps(
             {
                 "metric": "moe_train_tokens_per_sec_per_chip",
-                "value": round(toks / dt, 2),
+                "value": round(tps, 2),
                 "unit": "tokens/s/chip",
-                "config": f"bench shapes E={cfg.num_experts} "
-                          f"dispatch={cfg.moe_dispatch}, B={BATCH}, "
-                          f"T={SEQ_LEN}, fwd+bwd+AdamW (no remat)",
+                "config": f"{tier}: d{cfg.d_model}/{cfg.num_layers}L "
+                          f"E={cfg.num_experts} dispatch={cfg.moe_dispatch} "
+                          f"({n_params/1e9:.2f}B params), B={batch}, "
+                          f"T={seq_len}, fwd+bwd+AdamW"
+                          f"{' +remat' if cfg.gradient_checkpointing else ''}",
+                "params_b": round(n_params / 1e9, 3),
+                "train_mfu": round(mfu, 4),
+                "ms_per_step": round(dt / N_ITERS * 1e3, 1),
                 "vs_baseline": None,
             }
         )

@@ -1,9 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark: 3D-ViT forward throughput (frames/sec/chip).
+"""Benchmark: 3D-ViT forward throughput (frames/sec/chip), xsmall AND large.
 
-The second headline metric from BASELINE.json.  Prints one JSON line
-(kept out of bench.py, which the driver expects to emit exactly one line
-for the MoE decode metric).
+The second headline metric from BASELINE.json, measured at BOTH declared
+reference tiers:
+
+  * xsmall: d240/4L, 32 frames @ 128^2
+    (/root/reference/configs/transformers/vision/vit_3d/model_args/model_args_xsmall.py)
+  * large:  d2112/32H/20L, 8 frames @ 224^2 — the "1.3B" docstring tier
+    (/root/reference/configs/transformers/vision/vit_3d/model_args/model_args_large.py)
+
+Prints one JSON line per tier (kept out of bench.py's single-line contract;
+bench.py folds the numbers into its `vit3d` fields).
+
+Env: BENCH_VIT3D_TIERS=xsmall,large  BENCH_VIT3D_BATCH
 """
 
 import json
@@ -13,28 +22,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH = 4
 N_ITERS = 5
 
 
-def main():
+def run_tier(tier: str, batch: int):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"),
-    )
-    from vats_tpu.configs.vit3d import vit3d_xsmall
+    from vats_tpu.configs.vit3d import vit3d_large, vit3d_xsmall
     from vats_tpu.models.vit3d import VideoTransformer
 
-    cfg = vit3d_xsmall(dropout=0.0, use_checkpointing=False)
+    cfg = (vit3d_large if tier == "large" else vit3d_xsmall)(
+        dropout=0.0, use_checkpointing=False
+    )
     model = VideoTransformer(cfg)
     th, tw = cfg.target_size
     x = jax.random.normal(
         jax.random.PRNGKey(0),
-        (BATCH, cfg.C_in, cfg.max_frames, th, tw),
+        (batch, cfg.C_in, cfg.max_frames, th, tw),
         jnp.bfloat16,
     )
     params = model.init(jax.random.PRNGKey(1), x)
@@ -44,6 +49,7 @@ def main():
         else a,
         params,
     )
+    n_params = sum(a.size for a in jax.tree_util.tree_leaves(params))
     fwd = jax.jit(lambda p, xx: model.apply(p, xx))
     jax.device_get(fwd(params, x))  # compile
 
@@ -52,7 +58,7 @@ def main():
         out = fwd(params, x)
     jax.device_get(out)
     dt = time.perf_counter() - t0
-    frames_per_sec = BATCH * cfg.max_frames * N_ITERS / dt
+    frames_per_sec = batch * cfg.max_frames * N_ITERS / dt
 
     print(
         json.dumps(
@@ -60,11 +66,32 @@ def main():
                 "metric": "vit3d_frames_per_sec_per_chip",
                 "value": round(frames_per_sec, 2),
                 "unit": "frames/s/chip",
-                "config": "vit3d_xsmall (d240/4L, 32 frames @ 128^2, bf16)",
+                "config": f"vit3d_{tier} (d{cfg.d_model}/{cfg.num_layers}L, "
+                          f"{cfg.max_frames} frames @ {th}x{tw}, "
+                          f"{n_params/1e9:.2f}B params, B={batch}, bf16)",
                 "vs_baseline": None,
             }
-        )
+        ),
+        flush=True,
     )
+    del params
+    import gc
+
+    gc.collect()
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    tiers = os.environ.get("BENCH_VIT3D_TIERS", "xsmall,large").split(",")
+    batch = int(os.environ.get("BENCH_VIT3D_BATCH", "4"))
+    for tier in tiers:
+        run_tier(tier.strip(), batch)
 
 
 if __name__ == "__main__":

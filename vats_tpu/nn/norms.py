@@ -46,5 +46,11 @@ def l2_normalize(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     torch divides by ``max(||x||_2, eps)``.
     """
     x32 = x.astype(jnp.float32)
-    norm = jnp.linalg.norm(x32, axis=-1, keepdims=True)
-    return (x32 / jnp.maximum(norm, eps)).astype(x.dtype)
+    # clamp INSIDE the sqrt: sqrt(max(s, eps^2)) == max(sqrt(s), eps)
+    # exactly, but unlike norm-then-max it has a defined gradient at x == 0
+    # (jnp.linalg.norm's VJP is x/||x|| = 0/0 there). Zero vectors reach this
+    # through pipeline-parallel bubble ticks, whose discarded-branch NaNs
+    # would otherwise poison the whole backward pass (0 * NaN == NaN).
+    sq = jnp.sum(jnp.square(x32), axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return (x32 / norm).astype(x.dtype)
