@@ -170,6 +170,54 @@ def main():
     dense_tps = timed(run_dense)
     greedy_tps = timed(run_greedy)
 
+    def run_paged_int8kv(seed):
+        # int8 KV pages (bf16 weights): halves the per-step KV stream
+        return generate_paged(
+            model, params, prompt, None, jax.random.PRNGKey(seed),
+            do_sample=True, temperature=0.8, top_k=50,
+            page_size=PAGE_SIZE, kv_quant="int8", **common,
+        )
+
+    int8kv_paged_tps = timed(run_paged_int8kv)
+
+    # --- 32k-context SWA decode through the ring cache (reference xlarge
+    # tier's declared operating point: max_seq_len=32768, left_window<=1024)
+    # — measured as an n-step jitted decode loop at depth, like
+    # tools/probe_ctx_sweep.py ---
+    ctx32k_tps = None
+    if on_tpu and not smoke:
+        from vats_tpu.nn.kv_cache import ring_slots_for_window
+
+        ring_cfg = nlp_medium(
+            dropout=0.0, num_experts=8, top_k=2, param_dtype="bfloat16",
+            capacity_factor=1.25, gradient_checkpointing=False,
+            max_seq_len=32768, left_window=1024, use_mqa=False,
+        )
+        ring_model = TextLM(ring_cfg)
+        slots = ring_slots_for_window(1024)
+        n_ring_steps = 32
+
+        def ring_many(p):
+            c = ring_model.init_cache(batch, slots, ring=True)
+            c = c.replace(length=jnp.int32(32768 - n_ring_steps - 1))
+
+            def body(i, carry):
+                c, acc = carry
+                tok_i = jnp.full((batch, 1), i % 1000 + 1, jnp.int32)
+                logits, c2, _ = ring_model.apply(p, tok_i, cache=c)
+                return (c2, acc + jnp.sum(logits.astype(jnp.float32)))
+
+            c2, acc = jax.lax.fori_loop(
+                0, n_ring_steps, body, (c, jnp.zeros((), jnp.float32))
+            )
+            return acc, c2.length
+
+        ring_step = jax.jit(ring_many)
+        jax.device_get(ring_step(params)[0])  # compile + warm
+        t0 = time.perf_counter()
+        jax.device_get(ring_step(params)[0])
+        ctx32k_tps = batch * n_ring_steps / (time.perf_counter() - t0)
+
     # --- weight-only int8 serving mode (secondary; the headline stays the
     # parity-faithful bf16 path) ---
     from vats_tpu.inference.quantize import QuantizedModel, quantize_params
@@ -199,6 +247,46 @@ def main():
 
     int8_paged_tps = timed(run_paged_int8)
     int8_dense_tps = timed(run_dense_int8)
+
+    # --- int8 weights AND int8 KV pages (the minimum-HBM-traffic config);
+    # the freed bytes also double the servable batch: record B=2x ---
+    def run_paged_int8_wkv(seed):
+        return generate_paged(
+            qmodel, qparams, prompt, None, jax.random.PRNGKey(seed),
+            do_sample=True, temperature=0.8, top_k=50,
+            page_size=PAGE_SIZE, kv_quant="int8", **common,
+        )
+
+    int8_wkv_paged_tps = timed(run_paged_int8_wkv)
+
+    int8_wkv_b256_tps = None
+    if on_tpu and not smoke:
+        big_batch = 2 * batch
+        big_prompt = jax.random.randint(
+            jax.random.PRNGKey(7), (big_batch, prompt_len), 1, cfg.vocab_size
+        )
+
+        def run_b256(seed):
+            return generate_paged(
+                qmodel, qparams, big_prompt, None, jax.random.PRNGKey(seed),
+                do_sample=True, temperature=0.8, top_k=50,
+                page_size=PAGE_SIZE, kv_quant="int8", **common,
+            )
+
+        try:
+            out = run_b256(0)
+            jax.device_get(out[0])
+            t0 = time.perf_counter()
+            for i in range(1, N_ITERS + 1):
+                out = run_b256(i)
+                jax.device_get(out[0])
+            int8_wkv_b256_tps = (
+                big_batch * decode_steps * N_ITERS / (time.perf_counter() - t0)
+            )
+        except Exception as e:  # OOM etc. — record the miss, keep the bench
+            print(f"B={big_batch} int8-W+KV serving failed: {e}",
+                  file=sys.stderr)
+        del big_prompt
 
     # free the LM weights before the kernel/ViT stages (one v5e)
     del qparams, prompt
@@ -267,6 +355,52 @@ def main():
     jax.device_get(vout)
     vit3d_fps = vb * vcfg.max_frames * n_vit / (time.perf_counter() - t0)
 
+    # --- training MFU and ViT-3D-large tiers, in SUBPROCESSES: each needs
+    # ~all of HBM to itself (0.88B train state / 1.3B ViT activations) and
+    # must not co-reside with this process's live buffers ---
+    import subprocess
+
+    def _sub_json(argv, env_extra, timeout_s=2400):
+        try:
+            env = dict(os.environ, **env_extra)
+            out = subprocess.run(
+                argv, capture_output=True, text=True, timeout=timeout_s,
+                env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in reversed(out.stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+            print(f"{argv[-1]}: no JSON (stderr tail: "
+                  f"{out.stderr[-300:]})", file=sys.stderr)
+        except Exception as e:
+            print(f"{argv[-1]} failed: {e}", file=sys.stderr)
+        return None
+
+    train_metrics = None
+    vit3d_large = None
+    if on_tpu and not smoke:
+        tdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        tj = _sub_json(
+            [sys.executable, os.path.join(tdir, "bench_train.py")],
+            {"BENCH_TRAIN_TIER": "medium_dense"},
+        )
+        if tj:
+            train_metrics = {
+                "tokens_per_sec": tj.get("value"),
+                "mfu": tj.get("train_mfu"),
+                "config": tj.get("config"),
+            }
+        vj = _sub_json(
+            [sys.executable, os.path.join(tdir, "bench_vit3d.py")],
+            {"BENCH_VIT3D_TIERS": "large"},
+        )
+        if vj:
+            vit3d_large = {
+                "frames_per_sec": vj.get("value"),
+                "config": vj.get("config"),
+            }
+
     # --- roofline position of the headline number ---
     avg_ctx = prompt_len + decode_steps / 2
     step_s = batch / paged_tps
@@ -311,6 +445,16 @@ def main():
             "dense_cache_greedy_toks_per_sec": round(greedy_tps, 2),
             "int8_paged_toks_per_sec": round(int8_paged_tps, 2),
             "int8_dense_toks_per_sec": round(int8_dense_tps, 2),
+            "int8kv_paged_toks_per_sec": round(int8kv_paged_tps, 2),
+            "int8_w_kv_paged_toks_per_sec": round(int8_wkv_paged_tps, 2),
+            "int8_w_kv_paged_b256_toks_per_sec": (
+                round(int8_wkv_b256_tps, 2) if int8_wkv_b256_tps else None
+            ),
+            "ctx32k_swa_ring_toks_per_sec": (
+                round(ctx32k_tps, 2) if ctx32k_tps else None
+            ),
+            "train": train_metrics,
+            "vit3d_large": vit3d_large,
         },
     }))
 

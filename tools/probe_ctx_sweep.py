@@ -62,7 +62,15 @@ def main():
         slots = ring_slots_for_window(left_window) if ring else ctx
         start_len = ctx - N_STEPS - 1
 
-        def many(p, c):
+        def many(p):
+            # the cache is created INSIDE the program (zeros -> loop carry is
+            # ONE buffer, like the real generate path).  Passing it as a
+            # donated argument double-allocates: the donation is unusable
+            # (the cache isn't an output), so XLA keeps the 2x5 GB argument
+            # AND copies it into fresh loop-carry temps -> OOM at ctx 2048.
+            c = model.init_cache(BATCH, slots, ring=ring)
+            c = c.replace(length=jnp.int32(start_len))
+
             def body(i, carry):
                 c, acc = carry
                 tok_i = jnp.full((BATCH, 1), i % 1000 + 1, jnp.int32)
@@ -74,16 +82,12 @@ def main():
             )
             return acc, c2.length
 
-        jstep = jax.jit(many, donate_argnums=(1,))
+        jstep = jax.jit(many)
 
-        def fresh_cache():
-            c = model.init_cache(BATCH, slots, ring=ring)
-            return c.replace(length=jnp.int32(start_len))
-
-        acc, ln = jstep(params, fresh_cache())  # compile + warm
+        acc, ln = jstep(params)  # compile + warm
         jax.device_get(acc)
         t0 = time.perf_counter()
-        acc, ln = jstep(params, fresh_cache())
+        acc, ln = jstep(params)
         jax.device_get(acc)
         dt = time.perf_counter() - t0
         ms = dt / N_STEPS * 1e3

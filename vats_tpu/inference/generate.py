@@ -176,6 +176,7 @@ def generate(
         "total_len",
         "page_size",
         "approx_top_k",
+        "kv_quant",
     ),
 )
 def generate_paged(
@@ -196,6 +197,7 @@ def generate_paged(
     total_len: Optional[int] = None,
     page_size: int = 128,
     approx_top_k: bool = False,
+    kv_quant: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ragged-batch generation over a paged KV cache.
 
@@ -204,8 +206,16 @@ def generate_paged(
     TRUE lengths: per-sequence page tables + lengths, per-row RoPE positions,
     and the paged decode kernel on TPU.  Returns (tokens [B, total_len] laid
     out compactly per row, lengths [B]).
+
+    ``kv_quant='int8'`` stores the page pool in int8 with per-(token, group)
+    scales — half the KV bytes per decode step (the HBM-bound cost), double
+    the batch*context that fits.  The current token always attends at full
+    precision; history dequantizes inside the kernel.
     """
     from vats_tpu.ops.decode_attention import PagedKVCache
+
+    if kv_quant not in (None, "int8"):
+        raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
 
     b, t_prompt = input_ids.shape
     cfg = model.cfg
@@ -231,7 +241,7 @@ def generate_paged(
         kv_heads=cfg.query_groups,
         head_dim=cfg.head_dim,
         page_size=page_size,
-        dtype=resolve_dtype(cfg.dtype),
+        dtype=jnp.int8 if kv_quant == "int8" else resolve_dtype(cfg.dtype),
     )
 
     last_idx = jnp.maximum(prompt_lens - 1, 0)
@@ -308,10 +318,13 @@ class TokenGenerator:
         cast_params_to_compute_dtype: bool = False,
         use_paged: bool = False,
         quantize: Optional[str] = None,
+        kv_quant: Optional[str] = None,
     ):
         """quantize: None | 'int8' — weight-only int8 serving (per-channel
         scales, dequant fused into each matmul's weight load inside jit;
-        halves per-step HBM weight traffic and resident weight memory)."""
+        halves per-step HBM weight traffic and resident weight memory).
+        kv_quant: None | 'int8' — int8 paged KV pages with per-(token,
+        group) scales (requires use_paged; halves per-step KV traffic)."""
         self.model_args = model_args
         self.model = TextLM(model_args)
         if params is None:
@@ -340,8 +353,11 @@ class TokenGenerator:
 
             params = quantize_params(params)
             self.model = QuantizedModel(self.model)
+        if kv_quant is not None and not use_paged:
+            raise ValueError("kv_quant requires use_paged=True")
         self.params = params
         self.use_paged = use_paged
+        self.kv_quant = kv_quant
         self._rng = jax.random.PRNGKey(seed + 1)
 
     @staticmethod
@@ -380,6 +396,7 @@ class TokenGenerator:
             self.model_args.max_seq_len, bucket + generation_args.max_new_tokens
         )
         gen_fn = generate_paged if self.use_paged else generate
+        extra = {"kv_quant": self.kv_quant} if self.use_paged else {}
         tokens, lengths = gen_fn(
             self.model,
             self.params,
@@ -395,6 +412,7 @@ class TokenGenerator:
             pad_token_id=int(pad_id),
             eos_token_id=generation_args.eos_token_id,
             total_len=total_len,
+            **extra,
         )
         row = jax.device_get(tokens[0])
         n_valid = int(lengths[0])

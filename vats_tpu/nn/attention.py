@@ -513,20 +513,30 @@ class Attention(nn.Module):
                     "kernel" if jax.default_backend() == "tpu" else "xla"
                 )
             if paged_impl == "xla":
+                sc = paged_cache.kv_scales
                 out = paged_decode_attention_xla(
                     q[:, 0], paged_cache.kv_pages[layer_idx],
                     paged_cache.page_table, lengths,
                     scale=scale, k_cur=k_cur, v_cur=v_cur,
+                    kv_scales=sc[layer_idx] if sc is not None else None,
                 )
                 new_cache = paged_cache.append_token(layer_idx, k_cur, v_cur)
             else:
-                out, new_pool = paged_decode_attention_commit(
+                res = paged_decode_attention_commit(
                     q[:, 0], paged_cache.kv_pages, layer_idx,
                     paged_cache.page_table, lengths,
                     scale=scale, k_cur=k_cur, v_cur=v_cur,
+                    kv_scales=paged_cache.kv_scales,
                     interpret=(paged_impl == "kernel_interpret"),
                 )
-                new_cache = paged_cache.replace(kv_pages=new_pool)
+                if paged_cache.quantized:
+                    out, new_pool, new_scales = res
+                    new_cache = paged_cache.replace(
+                        kv_pages=new_pool, kv_scales=new_scales
+                    )
+                else:
+                    out, new_pool = res
+                    new_cache = paged_cache.replace(kv_pages=new_pool)
             return out[:, None], new_cache
 
         # prefill: append the whole window, gather pages in the cache-native

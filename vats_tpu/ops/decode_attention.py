@@ -53,6 +53,19 @@ except Exception:  # pragma: no cover
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(token, group) symmetric int8 quantization of [..., hd] K or V.
+
+    Returns (int8 values [..., hd], fp32 scale [...]); dequantized =
+    values * scale[..., None].  The scale floor keeps all-zero vectors
+    (never-written slots, padded rows) at scale 1e-8/127 -> dequant 0."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def _pad_head_dim(head_dim: int) -> int:
     """Physical (stored) head dim: padded to the 8-sublane granule.
 
@@ -75,6 +88,12 @@ class PagedKVCache:
     kv_pages: jnp.ndarray  # [L, num_pages, 2, G, hd_pad, page_size]
     page_table: jnp.ndarray  # [B, pages_per_seq] physical page ids
     lengths: jnp.ndarray  # [B] valid tokens per sequence
+    # int8-quantized pools carry per-(token, k/v, group) symmetric scales:
+    # kv_scales [L, num_pages, 2, G_pad8, page_size] fp32 (fp32 because the
+    # commit kernel inserts at a dynamic lane offset, which Mosaic supports
+    # only for 32-bit types; G pads to the 8-sublane granule for legal DMA
+    # slices).  dequantized = int8_value * scale.  None for bf16 pools.
+    kv_scales: Optional[jnp.ndarray] = None
     head_dim: int = struct.field(pytree_node=False, default=0)  # logical hd
 
     @classmethod
@@ -107,12 +126,23 @@ class PagedKVCache:
             jnp.arange(batch_size)[:, None] * pages_per_seq
             + jnp.arange(pages_per_seq)[None, :]
         ).astype(jnp.int32)
+        scales = None
+        if jnp.dtype(dtype) == jnp.int8:
+            scales = jnp.zeros(
+                (num_layers, num_pages, 2, _pad_head_dim(kv_heads), page_size),
+                dtype=jnp.float32,
+            )
         return cls(
             kv_pages=jnp.zeros(shape, dtype=dtype),
             page_table=table,
             lengths=jnp.zeros((batch_size,), dtype=jnp.int32),
+            kv_scales=scales,
             head_dim=head_dim,
         )
+
+    @property
+    def quantized(self) -> bool:
+        return self.kv_scales is not None
 
     # convenience views kept for the oracle/tests (no copy: basic slicing)
     @property
@@ -165,12 +195,19 @@ class PagedKVCache:
         phys = jnp.take_along_axis(
             self.page_table, (pos // ps)[:, None], axis=1
         )[:, 0]
+        scales = None
+        if self.quantized:
+            kv, sc = quantize_kv(kv)  # sc [B, 2, G]
+            g = sc.shape[-1]
+            scales = self.kv_scales.at[layer_idx, phys, :, :g, pos % ps].set(
+                sc
+            )
         # advanced indices (phys [B], offset [B]) around sliced axes are
         # non-adjacent, so the broadcast result leads: [B, 2, G, hd_pad]
         kv_pages = self.kv_pages.at[layer_idx, phys, :, :, :, pos % ps].set(
             kv.astype(self.kv_pages.dtype)
         )
-        return self.replace(kv_pages=kv_pages)
+        return self.replace(kv_pages=kv_pages, kv_scales=scales)
 
     def append_tokens(
         self, layer_idx: int, k_new: jnp.ndarray, v_new: jnp.ndarray
@@ -184,17 +221,30 @@ class PagedKVCache:
         t = k_new.shape[1]
         pos = self.lengths[:, None] + jnp.arange(t)[None, :]  # [B, T]
         phys = jnp.take_along_axis(self.page_table, pos // ps, axis=1)
+        scales = None
+        if self.quantized:
+            kv, sc = quantize_kv(kv)  # sc [B, T, 2, G]
+            g = sc.shape[-1]
+            scales = self.kv_scales.at[layer_idx, phys, :, :g, pos % ps].set(
+                sc
+            )
         kv_pages = self.kv_pages.at[layer_idx, phys, :, :, :, pos % ps].set(
             kv.astype(self.kv_pages.dtype)
         )
-        return self.replace(kv_pages=kv_pages)
+        return self.replace(kv_pages=kv_pages, kv_scales=scales)
 
     def gather_dense_t(self, layer_idx: int):
         """Materialize a layer's pages in the cache-native layout
         [B, G, hd_pad, S] (a pure reshape of the gathered pages — the
-        prefill path attends via ``cached_decode_attention`` on this view)."""
+        prefill path attends via ``cached_decode_attention`` on this view).
+        int8 pools are dequantized into bf16 here (prefill-only cost)."""
         kv = self.kv_pages[layer_idx][self.page_table]  # [B, pps, 2, G, hdp, ps]
         b, pps, _, g, hdp, ps = kv.shape
+        if self.quantized:
+            sc = self.kv_scales[layer_idx][self.page_table]  # [B,pps,2,Gp,ps]
+            kv = (
+                kv.astype(jnp.float32) * sc[:, :, :, :g, None, :]
+            ).astype(jnp.bfloat16)
         kv = kv.transpose(2, 0, 3, 4, 1, 5).reshape(2, b, g, hdp, pps * ps)
         return kv[0], kv[1]
 
@@ -225,20 +275,26 @@ def paged_decode_attention_xla(
     scale: float,
     k_cur: Optional[jnp.ndarray] = None,
     v_cur: Optional[jnp.ndarray] = None,
+    kv_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Oracle: q [B, Hq, hd]; kv_pages [P, 2, G, hd_pad, ps] (one layer;
     hd_pad may be 8-sublane padded — the pad rows are zero and sliced off).
     ``lengths`` counts SETTLED history; when ``k_cur/v_cur`` [B, G, hd] are
     given the current (not-yet-appended) token is one extra, always-valid
-    attention column.
+    attention column.  int8 pools pass ``kv_scales`` [P, 2, G_pad, ps]
+    (dequantized = value * scale; the current token stays unquantized).
 
     Gathers each sequence's pages and runs masked attention in fp32."""
     b, hq, hd = q.shape
     _, _, g, hd_pad, ps = kv_pages.shape
     n = hq // g
     pps = page_table.shape[1]
+    gathered = kv_pages[page_table].astype(jnp.float32)
+    if kv_scales is not None:
+        sc = kv_scales[page_table]  # [B, pps, 2, G_pad, ps]
+        gathered = gathered * sc[:, :, :, :g, None, :]
     # [B, pps, 2, G, hdp, ps] -> [2, B, G, S, hd]
-    kv = kv_pages[page_table].transpose(2, 0, 3, 4, 1, 5).reshape(
+    kv = gathered.transpose(2, 0, 3, 4, 1, 5).reshape(
         2, b, g, hd_pad, pps * ps
     ).transpose(0, 1, 2, 4, 3)[..., :hd]
     k_seq, v_seq = kv[0], kv[1]
@@ -275,6 +331,7 @@ def _decode_kernel(
     mask_value: float,
     has_cur: bool,
     commit: bool,
+    quantized: bool,
 ):
     """Chunked, double-buffered paged decode over sequence-minor pages.
 
@@ -288,20 +345,47 @@ def _decode_kernel(
     attention — gets the current token inserted at its lane slot in VMEM
     and is DMA'd back to the (input/output-aliased) pool: the append never
     touches XLA's scatter path.
+
+    With ``quantized``, pages are int8 and a second pool of per-(token,
+    k/v, group) fp32 scales streams alongside: k scales fold into the score
+    COLUMNS (one [RG, ps] multiply, never touching hd), v scales fold into
+    the probabilities before the p.v matmul.  The current token attends
+    and seeds the softmax UNQUANTIZED; commit quantizes it in VMEM and
+    writes both its page and its scales page back aliased.
     """
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    cur_ref = None
     if has_cur:
-        q_ref, cur_ref, pool_ref, o_ref = refs[:4]
-        rest = refs[4:]
-    else:
-        q_ref, pool_ref, o_ref = refs[:3]
-        cur_ref = None
-        rest = refs[3:]
+        cur_ref = refs[idx]; idx += 1
+    pool_ref = refs[idx]; idx += 1
+    sc_pool_ref = None
+    if quantized:
+        sc_pool_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    pool_out_ref = sc_out_ref = None
     if commit:
-        pool_out_ref = rest[0]
-        kv_buf, wbuf, sems, wsems = rest[1:]
-    else:
-        kv_buf, sems = rest
-        wbuf = wsems = None
+        pool_out_ref = refs[idx]; idx += 1
+        if quantized:
+            sc_out_ref = refs[idx]; idx += 1
+    kv_buf = refs[idx]; idx += 1
+    sc_buf = None
+    if quantized:
+        sc_buf = refs[idx]; idx += 1
+    wbuf = swbuf = None
+    if commit:
+        wbuf = refs[idx]; idx += 1
+        if quantized:
+            swbuf = refs[idx]; idx += 1
+    sems = refs[idx]; idx += 1
+    sc_sems = None
+    if quantized:
+        sc_sems = refs[idx]; idx += 1
+    wsems = swsems = None
+    if commit:
+        wsems = refs[idx]; idx += 1
+        if quantized:
+            swsems = refs[idx]; idx += 1
     cell = pl.program_id(0)
     layer = layer_ref[0]
     g, n_heads, hd = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
@@ -321,6 +405,12 @@ def _decode_kernel(
                     kv_buf.at[slot, r, j],
                     sems.at[slot, r, j],
                 ).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        sc_pool_ref.at[layer, pid],
+                        sc_buf.at[slot, r, j],
+                        sc_sems.at[slot, r, j],
+                    ).start()
 
     def wait(slot):
         for r in range(rows):
@@ -330,6 +420,12 @@ def _decode_kernel(
                     kv_buf.at[slot, r, j],
                     sems.at[slot, r, j],
                 ).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        sc_pool_ref.at[layer, 0],
+                        sc_buf.at[slot, r, j],
+                        sc_sems.at[slot, r, j],
+                    ).wait()
 
     # chunk count for the whole cell: the longest row decides; shorter rows
     # stream (and mask out) their already-allocated pages
@@ -353,8 +449,11 @@ def _decode_kernel(
 
     if has_cur:
         # seed the online softmax with the current token's (always valid)
-        # column: m = s_cur, l = 1, o = v_cur — no post-loop combine needed
-        cur = cur_ref[0].astype(jnp.float32)  # [rows, 2, G, hd]
+        # column: m = s_cur, l = 1, o = v_cur — no post-loop combine needed.
+        # The token attends UNQUANTIZED (cur arrives in storage precision;
+        # quantized mode pads its G axis to the scales-page sublane granule)
+        cur_full = cur_ref[0].astype(jnp.float32)  # [rows, 2, G(_pad), hd]
+        cur = cur_full[:, :, :g] if cur_full.shape[2] != g else cur_full
         k_cur = cur[:, 0].reshape(rg, hd)
         v_cur = cur[:, 1].reshape(rg, hd)
         s_cur = jax.lax.dot_general(
@@ -381,13 +480,30 @@ def _decode_kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ps), 3)
         # fp32 staging: Mosaic only supports non-no-op minor-dim insertion
         # ([2, G, hd] -> [2, G, hd, 1]) for 32-bit types
-        cur_f32 = cur_ref[0].astype(jnp.float32)  # [rows, 2, G, hd]
+        cur_f32 = cur_ref[0].astype(jnp.float32)  # [rows, 2, G(_pad), hd]
+        if quantized:
+            # in-kernel quantization of the committed token, over the
+            # G-padded cur (pad groups are zero -> scale floor, dequant 0)
+            amax = jnp.max(jnp.abs(cur_f32), axis=-1)  # [rows, 2, G_pad]
+            cur_scale = jnp.maximum(amax, 1e-8) / 127.0
+            cur_store = jnp.clip(
+                jnp.round(cur_f32 / cur_scale[..., None]), -127.0, 127.0
+            )[:, :, :g]  # page G axis is unpadded
+            # store 0 (not the floor) for pad groups: keeps the kernel's
+            # scales pool byte-equal to the XLA scatter append's
+            gidx = jax.lax.broadcasted_iota(
+                jnp.int32, cur_scale.shape, 2
+            )
+            cur_scale = jnp.where(gidx < g, cur_scale, 0.0)
+            sc_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ps), 2)
+        else:
+            cur_store = cur_f32
 
-        def stage_write(r, page_vals):
+        def stage_write(r, page_vals, sc_page_vals=None):
             """Insert row r's token into page_vals and DMA it home."""
             cpage, off = cur_pos[r]
             ins = jnp.where(
-                lane == off, cur_f32[r][:, :, :, None],
+                lane == off, cur_store[r][:, :, :, None],
                 page_vals.astype(jnp.float32),
             )
             wbuf[r] = ins.astype(wbuf.dtype)
@@ -395,6 +511,14 @@ def _decode_kernel(
             pltpu.make_async_copy(
                 wbuf.at[r], pool_out_ref.at[layer, pid], wsems.at[r]
             ).start()
+            if quantized:
+                sc_ins = jnp.where(
+                    sc_lane == off, cur_scale[r][:, :, None], sc_page_vals
+                )
+                swbuf[r] = sc_ins
+                pltpu.make_async_copy(
+                    swbuf.at[r], sc_out_ref.at[layer, pid], swsems.at[r]
+                ).start()
 
     def body(c, carry):
         m_acc, l_acc, o_acc = carry
@@ -415,20 +539,29 @@ def _decode_kernel(
 
                     @pl.when((c * w + j) == cpage)
                     def _(r=r, j=j):
-                        stage_write(r, kv_buf[slot, r, j])
+                        stage_write(
+                            r, kv_buf[slot, r, j],
+                            sc_buf[slot, r, j] if quantized else None,
+                        )
 
         # per-page matmuls (w static): kv_buf[slot, :, j, 0] is
         # [rows, G, hd, ps] -> folded [RG, hd, ps]; the hd contraction
-        # against q needs no in-VMEM transpose of the streamed pages
+        # against q needs no in-VMEM transpose of the streamed pages.
+        # int8 pages: the per-token k scale multiplies the score COLUMNS
+        # ([RG, ps], broadcast over heads) — hd never sees a dequant pass
         parts = []
         for j in range(w):
             kj = kv_buf[slot, :, j, 0].astype(jnp.float32).reshape(
                 rg, hd, ps
             )
-            parts.append(jax.lax.dot_general(
+            s_j = jax.lax.dot_general(
                 q, kj, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ))  # [RG, N, ps]
+            )  # [RG, N, ps]
+            if quantized:
+                ksc = sc_buf[slot, :, j, 0, :g].reshape(rg, ps)
+                s_j = s_j * ksc[:, None, :]
+            parts.append(s_j)
         s = jnp.concatenate(parts, axis=-1) if w > 1 else parts[0]
         pos = c * w * ps + jax.lax.broadcasted_iota(
             jnp.int32, (1, w * ps), 1
@@ -448,6 +581,11 @@ def _decode_kernel(
                 rg, hd, ps
             )
             pj = p[..., j * ps:(j + 1) * ps]
+            if quantized:
+                # v's per-token scale folds into the probabilities (cheap
+                # [RG, ps] multiply) instead of dequantizing the page
+                vsc = sc_buf[slot, :, j, 1, :g].reshape(rg, ps)
+                pj = pj * vsc[:, None, :]
             o_new = o_new + jax.lax.dot_general(
                 pj, vj, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -463,17 +601,24 @@ def _decode_kernel(
         # Rows whose fresh page WAS streamed (a longer row in the cell set
         # nc) already committed inside the loop — exactly one write per row.
         zeros = jnp.zeros((2, g, hd, ps), wbuf.dtype)
+        zeros_sc = (
+            jnp.zeros(swbuf.shape[1:], jnp.float32) if quantized else None
+        )
         for r in range(rows):
             cpage, _ = cur_pos[r]
 
             @pl.when(cpage >= nc * w)
             def _(r=r):
-                stage_write(r, zeros)
+                stage_write(r, zeros, zeros_sc)
 
         for r in range(rows):  # exactly one write per row was started
             pltpu.make_async_copy(
                 wbuf.at[r], pool_out_ref.at[layer, 0], wsems.at[r]
             ).wait()
+            if quantized:
+                pltpu.make_async_copy(
+                    swbuf.at[r], sc_out_ref.at[layer, 0], swsems.at[r]
+                ).wait()
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (o / l_safe).reshape(rows, g, n_heads, hd).astype(o_ref.dtype)
@@ -481,29 +626,42 @@ def _decode_kernel(
 
 def _run_decode_kernel(
     q, kv_pages, layer_idx, page_table, lengths, *, scale,
-    k_cur=None, v_cur=None, commit=False, interpret=False,
+    k_cur=None, v_cur=None, kv_scales=None, commit=False, interpret=False,
 ):
     """Shared pallas_call builder.  kv_pages: the FULL pool
-    [L, P, 2, G, hd_pad, ps]; returns (out, new_pool) when commit else out."""
+    [L, P, 2, G, hd_pad, ps]; kv_scales (int8 pools): [L, P, 2, G_pad, ps]
+    fp32.  Returns out, plus the new pool(s) when commit:
+    (out, new_pool) or (out, new_pool, new_scales)."""
     has_cur = k_cur is not None
+    quantized = kv_scales is not None
     b, hq, hd = q.shape
     _, _, _, g, hd_pad, ps = kv_pages.shape
     n = hq // g
     pps = page_table.shape[1]
+    gp = kv_scales.shape[3] if quantized else g
 
-    def padded(x):
-        if x.shape[-1] == hd_pad:
+    def padded(x, tgt=None, axis=-1):
+        tgt = hd_pad if tgt is None else tgt
+        if x.shape[axis] == tgt:
             return x
-        return jnp.pad(
-            x, [(0, 0)] * (x.ndim - 1) + [(0, hd_pad - x.shape[-1])]
-        )
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, tgt - x.shape[axis])
+        return jnp.pad(x, pad)
 
     q_in = padded(q.reshape(b, g, n, hd))
     cur_in = None
     if has_cur:
-        cur_in = jnp.stack(
-            [padded(k_cur), padded(v_cur)], axis=1
-        ).astype(kv_pages.dtype)  # [B, 2, G, hd_pad]
+        cur_in = jnp.stack([padded(k_cur), padded(v_cur)], axis=1)
+        if quantized:
+            # cur stays UNQUANTIZED for exact attention; ride in fp32 (tiny
+            # buffer; bf16 here would both perturb the always-valid column
+            # vs the oracle and round the in-kernel quantization away from
+            # quantize_kv's fp32 result) and pad G to the scales-page
+            # sublane granule so the quantizer emits G_pad-wide scales
+            cur_in = padded(cur_in.astype(jnp.float32), gp, axis=2)
+        else:
+            cur_in = cur_in.astype(kv_pages.dtype)  # [B, 2, G, hd_pad]
+    cur_g = gp if quantized else g
 
     # rows per grid cell / pages per chunk: target ~8 page copies in flight
     rows = 1
@@ -528,6 +686,7 @@ def _run_decode_kernel(
         mask_value=DEFAULT_MASK_VALUE,
         has_cur=has_cur,
         commit=commit,
+        quantized=quantized,
     )
     in_specs = [
         pl.BlockSpec(
@@ -537,11 +696,16 @@ def _run_decode_kernel(
     inputs = [q_in.reshape(b // rows, rows, g, n, hd_pad)]
     if has_cur:
         in_specs.append(
-            pl.BlockSpec((1, rows, 2, g, hd_pad), lambda c, *_: (c, 0, 0, 0, 0))
+            pl.BlockSpec(
+                (1, rows, 2, cur_g, hd_pad), lambda c, *_: (c, 0, 0, 0, 0)
+            )
         )
-        inputs.append(cur_in.reshape(b // rows, rows, 2, g, hd_pad))
+        inputs.append(cur_in.reshape(b // rows, rows, 2, cur_g, hd_pad))
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     inputs.append(kv_pages)
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(kv_scales)
 
     o_spec = pl.BlockSpec(
         (1, rows, g, n, hd_pad), lambda c, *_: (c, 0, 0, 0, 0)
@@ -552,17 +716,34 @@ def _run_decode_kernel(
     io_aliases = {}
     scratch = [
         pltpu.VMEM((2, rows, window, 2, g, hd_pad, ps), kv_pages.dtype),
-        pltpu.SemaphoreType.DMA((2, rows, window)),
     ]
+    if quantized:
+        scratch.append(pltpu.VMEM((2, rows, window, 2, gp, ps), jnp.float32))
     if commit:
+        scratch.append(pltpu.VMEM((rows, 2, g, hd_pad, ps), kv_pages.dtype))
+        if quantized:
+            scratch.append(pltpu.VMEM((rows, 2, gp, ps), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2, rows, window)))
+    if quantized:
+        scratch.append(pltpu.SemaphoreType.DMA((2, rows, window)))
+    if commit:
+        scratch.append(pltpu.SemaphoreType.DMA((rows,)))
+        if quantized:
+            scratch.append(pltpu.SemaphoreType.DMA((rows,)))
         out_specs = [o_spec, pl.BlockSpec(memory_space=pl.ANY)]
-        out_shape = [o_shape, jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype)]
+        out_shape = [
+            o_shape, jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype)
+        ]
         # aliasing indices count scalar-prefetch operands: inputs are
-        # (lengths, table, layer, q, cur, pool) -> pool is 5; outputs (o, pool)
+        # (lengths, table, layer, q, cur, pool[, scales]) -> pool is 5;
+        # outputs (o, pool[, scales])
         io_aliases = {5: 1}
-        scratch = scratch[:1] + [
-            pltpu.VMEM((rows, 2, g, hd_pad, ps), kv_pages.dtype),
-        ] + scratch[1:] + [pltpu.SemaphoreType.DMA((rows,))]
+        if quantized:
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            out_shape.append(
+                jax.ShapeDtypeStruct(kv_scales.shape, kv_scales.dtype)
+            )
+            io_aliases[6] = 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -586,6 +767,10 @@ def _run_decode_kernel(
         jnp.asarray([layer_idx], jnp.int32),
         *inputs,
     )
+    if commit and quantized:
+        o, new_pool, new_scales = out
+        o = o.reshape(b, g, n, hd_pad)[..., :hd].reshape(b, hq, hd)
+        return o, new_pool, new_scales
     if commit:
         o, new_pool = out
         return o.reshape(b, g, n, hd_pad)[..., :hd].reshape(b, hq, hd), new_pool
@@ -601,6 +786,7 @@ def paged_decode_attention(
     scale: float,
     k_cur: Optional[jnp.ndarray] = None,
     v_cur: Optional[jnp.ndarray] = None,
+    kv_scales: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas paged decode WITHOUT cache commit: q [B, Hq, hd] -> same.
@@ -608,15 +794,18 @@ def paged_decode_attention(
     kv_pages: ONE layer's pool [P, 2, G, hd_pad, ps].  ``lengths`` counts
     settled history; optional ``k_cur/v_cur`` [B, G, hd] add the current
     token as one extra always-valid column (not written anywhere).
+    int8 pools pass ``kv_scales`` [P, 2, G_pad, ps].
     """
     if not _HAS_PLTPU:
         return paged_decode_attention_xla(
             q, kv_pages, page_table, lengths, scale=scale,
-            k_cur=k_cur, v_cur=v_cur,
+            k_cur=k_cur, v_cur=v_cur, kv_scales=kv_scales,
         )
     return _run_decode_kernel(
         q, kv_pages[None], 0, page_table, lengths, scale=scale,
-        k_cur=k_cur, v_cur=v_cur, commit=False, interpret=interpret,
+        k_cur=k_cur, v_cur=v_cur,
+        kv_scales=kv_scales[None] if kv_scales is not None else None,
+        commit=False, interpret=interpret,
     )
 
 
@@ -630,27 +819,36 @@ def paged_decode_attention_commit(
     scale: float,
     k_cur: jnp.ndarray,
     v_cur: jnp.ndarray,
+    kv_scales: Optional[jnp.ndarray] = None,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+):
     """Serving hot path: attend the paged history + current token AND commit
     the token into its page, in one kernel.
 
     kv_pages: the FULL pool [L, P, 2, G, hd_pad, ps] (input/output-aliased —
-    under jit the update is in place).  Returns (out [B, Hq, hd], new pool).
-    ``lengths`` counts settled history; the committed slot is
-    ``lengths[b]`` (clamped at capacity, mirroring ``append_token``).
+    under jit the update is in place).  Returns (out [B, Hq, hd], new pool)
+    — plus the new scales pool as a third element for int8 pools
+    (``kv_scales`` [L, P, 2, G_pad, ps], also aliased).  ``lengths`` counts
+    settled history; the committed slot is ``lengths[b]`` (clamped at
+    capacity, mirroring ``append_token``).
     """
     if not _HAS_PLTPU:
         out = paged_decode_attention_xla(
             q, kv_pages[layer_idx], page_table, lengths, scale=scale,
             k_cur=k_cur, v_cur=v_cur,
+            kv_scales=(
+                kv_scales[layer_idx] if kv_scales is not None else None
+            ),
         )
         tmp = PagedKVCache(
             kv_pages=kv_pages, page_table=page_table, lengths=lengths,
-            head_dim=q.shape[-1],
+            kv_scales=kv_scales, head_dim=q.shape[-1],
         ).append_token(layer_idx, k_cur, v_cur)
+        if kv_scales is not None:
+            return out, tmp.kv_pages, tmp.kv_scales
         return out, tmp.kv_pages
     return _run_decode_kernel(
         q, kv_pages, layer_idx, page_table, lengths, scale=scale,
-        k_cur=k_cur, v_cur=v_cur, commit=True, interpret=interpret,
+        k_cur=k_cur, v_cur=v_cur, kv_scales=kv_scales,
+        commit=True, interpret=interpret,
     )
