@@ -24,6 +24,12 @@ def main():
     p.add_argument("--tokenizer", default="mistralai/Mistral-7B-v0.1")
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--paged", action="store_true",
+                   help="serve through the paged-KV decode kernel")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="weight-only int8 serving")
+    p.add_argument("--kv-quant", choices=["int8"], default=None,
+                   help="int8 paged KV pages (implies --paged)")
     args = p.parse_args()
 
     from transformers import AutoTokenizer
@@ -39,7 +45,11 @@ def main():
     restored, meta = load_checkpoint(args.ckpt)
     model_args = ModelArgs.from_dict(meta["model_args"])
     params = restored["params"] if isinstance(restored, dict) else restored.params
-    gen = TokenGenerator(model_args, params={"params": params})
+    gen = TokenGenerator(
+        model_args, params={"params": params},
+        use_paged=args.paged or args.kv_quant is not None,
+        quantize=args.quantize, kv_quant=args.kv_quant,
+    )
     gen_args = GenerationArgs(
         max_new_tokens=args.max_new_tokens,
         temperature=args.temperature,

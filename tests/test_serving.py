@@ -1,0 +1,151 @@
+"""Continuous-batching serving engine: scheduling + page-reuse contracts.
+
+Oracle: a request served through ServingEngine (whatever rows/batchmates it
+shared the pool with) must produce EXACTLY the greedy tokens that
+generate_paged produces for the same prompt alone — continuous batching and
+page recycling are not allowed to change anyone's numbers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vats_tpu.configs import nlp_xsmall
+from vats_tpu.inference.generate import generate_paged
+from vats_tpu.inference.serving import PageAllocator, ServingEngine
+from vats_tpu.models import TextLM
+
+
+def _model_and_params():
+    cfg = nlp_xsmall(
+        d_model=64, num_heads=4, query_groups=2, d_ffn=128, num_layers=2,
+        vocab_size=128, dropout=0.0, num_experts=1, top_k=1,
+        max_seq_len=512, use_mqa=False, gradient_checkpointing=False,
+        dtype="float32", param_dtype="float32",
+    )
+    model = TextLM(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32)
+    )
+    return model, params
+
+
+def _oracle(model, params, prompt, max_new, total_len=256):
+    ids = jnp.asarray([prompt], jnp.int32)
+    mask = jnp.ones_like(ids, dtype=bool)
+    toks, lengths = generate_paged(
+        model, params, ids, mask, jax.random.PRNGKey(9),
+        max_new_tokens=max_new, temperature=0.0, do_sample=False,
+        pad_token_id=0, total_len=total_len,
+    )
+    row = np.asarray(toks[0])
+    n = int(lengths[0])
+    return list(row[len(prompt):n])
+
+
+PROMPTS = [
+    [5, 9, 17, 3],
+    [88, 11],
+    [7, 7, 23, 45, 101, 2, 19],
+    [64, 3, 12],
+    [120, 5, 5, 5, 31, 8],
+]
+
+
+def test_page_allocator():
+    a = PageAllocator(8)  # pages 1..7 usable
+    assert a.capacity == 7
+    p1 = a.alloc(3)
+    assert len(set(p1)) == 3 and all(1 <= p < 8 for p in p1)
+    with pytest.raises(MemoryError):
+        a.alloc(5)
+    a.free(p1[:2])
+    assert a.num_free == 6
+    assert a.high_water == 3
+
+
+def test_engine_greedy_matches_generate_paged():
+    model, params = _model_and_params()
+    eng = ServingEngine(model, params, max_batch=2, max_context=256)
+    rid = eng.submit(PROMPTS[0], max_new_tokens=10)
+    out = eng.run()
+    assert out[rid] == _oracle(model, params, PROMPTS[0], 10)
+
+
+def test_continuous_batching_parity_and_reuse():
+    """5 requests through 2 rows: every request's tokens match its solo
+    oracle, and retired rows' pages are reused (high-water < sum of all
+    requests' footprints)."""
+    model, params = _model_and_params()
+    eng = ServingEngine(model, params, max_batch=2, max_context=256)
+    rids = {eng.submit(p, max_new_tokens=6 + i): p
+            for i, p in enumerate(PROMPTS)}
+    out = eng.run()
+    assert set(out) == set(rids)
+    for i, (rid, prompt) in enumerate(rids.items()):
+        assert out[rid] == _oracle(model, params, prompt, 6 + i), (
+            f"request {rid} diverged from its solo oracle"
+        )
+    # all pages returned; 2 resident rows max -> high-water <= 2 rows' worth
+    assert eng.allocator.num_used == 0
+    assert eng.allocator.high_water <= 2 * eng.pages_per_row
+
+
+def test_pool_smaller_than_batch_queues_on_pages():
+    """A pool with room for ONE resident row at a time still completes all
+    requests (head-of-line waits for pages, rows stay idle)."""
+    model, params = _model_and_params()
+    eng = ServingEngine(
+        model, params, max_batch=2, max_context=256,
+        total_pages=1 + 2,  # scratch + one row's 2 pages
+    )
+    rids = [eng.submit(p, max_new_tokens=5) for p in PROMPTS[:3]]
+    out = eng.run()
+    for rid, p in zip(rids, PROMPTS[:3]):
+        assert out[rid] == _oracle(model, params, p, 5)
+    assert eng.allocator.high_water <= 2
+
+
+def test_engine_int8_kv_matches_bf16():
+    model, params = _model_and_params()
+    kw = dict(max_batch=2, max_context=256)
+    out_fp = ServingEngine(model, params, **kw)
+    out_q = ServingEngine(model, params, kv_quant="int8", **kw)
+    r1 = out_fp.submit(PROMPTS[2], max_new_tokens=8)
+    r2 = out_q.submit(PROMPTS[2], max_new_tokens=8)
+    assert out_fp.run()[r1] == out_q.run()[r2]
+
+
+def test_engine_eos_frees_early():
+    model, params = _model_and_params()
+    # discover the greedy continuation, then declare its 3rd token as EOS
+    toks = _oracle(model, params, PROMPTS[0], 8)
+    eos = toks[2]
+    eng = ServingEngine(
+        model, params, max_batch=1, max_context=256, eos_token_id=eos
+    )
+    rid = eng.submit(PROMPTS[0], max_new_tokens=8)
+    out = eng.run()
+    assert out[rid] == toks[: toks.index(eos) + 1]
+    assert eng.allocator.num_used == 0
+
+
+def test_preemption_requeues_and_reproduces():
+    """Two rows whose contexts outgrow the pool mid-decode: the youngest is
+    preempted (pages freed, requeued as a continuation) and every request
+    still reproduces its solo greedy oracle."""
+    model, params = _model_and_params()
+    long_prompt_a = [(7 * i) % 120 + 1 for i in range(122)]
+    long_prompt_b = [(5 * i) % 120 + 1 for i in range(122)]
+    eng = ServingEngine(
+        model, params, max_batch=2, max_context=256,
+        total_pages=1 + 3,  # scratch + 3: two 1-page rows, ONE can grow
+    )
+    r1 = eng.submit(long_prompt_a, max_new_tokens=10)
+    r2 = eng.submit(long_prompt_b, max_new_tokens=10)
+    out = eng.run()
+    assert eng.preemptions >= 1, "pool pressure never triggered preemption"
+    assert out[r1] == _oracle(model, params, long_prompt_a, 10)
+    assert out[r2] == _oracle(model, params, long_prompt_b, 10)
+    assert eng.allocator.num_used == 0

@@ -1,0 +1,410 @@
+"""Continuous-batching serving engine over the paged KV cache.
+
+The host-side runtime that turns the Pallas paged decode kernel
+(vats_tpu/ops/decode_attention.py) into an actual serving system — the role
+vLLM's scheduler/BlockManager plays around PagedAttention, which the
+reference lacks entirely (its generate loop re-concatenates python tensors
+per token and serves one fixed batch,
+/root/reference/src/transformers/nlp/inference/generate.py:102-236):
+
+  * :class:`PageAllocator` — a free-list over the PHYSICAL page pool.
+    Sequences allocate pages on demand (prompt pages at admission, one page
+    at a time as decode crosses page boundaries) and return them on
+    retirement, so the pool is sized for the *working set*, not
+    max_batch * max_context.
+  * :class:`ServingEngine` — admission queue + row scheduler.  Requests
+    join any free batch row (prompt lengths bucketed to bound compiles),
+    decode steps run the WHOLE batch through one jitted step (inactive rows
+    ride along against a reserved scratch page), and finished rows retire
+    and free their pages mid-flight while the rest keep decoding —
+    continuous batching with static shapes, the TPU-native constraint.
+
+Design notes for the jit boundary:
+  * one prefill program per prompt bucket, one decode program total; page
+    tables and lengths are DATA (scalar-prefetch in the kernel), so page
+    allocation never recompiles anything.
+  * the pool (and int8 scales pool) is donated through every call — the
+    kernel's input_output_aliases keep the update in place under jit.
+  * per-step host sync is inherent to continuous batching (the scheduler
+    must see tokens to retire/admit); production engines amortize it by
+    admitting every k steps, which `decode_block_steps` exposes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt_ids: List[int]
+    max_new_tokens: int
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    # tokens generated before a preemption (the continuation's prompt
+    # includes them; the final answer is carried + output_ids)
+    carried: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class PageAllocator:
+    """Free-list allocator over physical page ids [first_page, num_pages).
+
+    Page 0 is conventionally reserved by the engine as the scratch page for
+    inactive rows, so allocators start at 1 by default."""
+
+    def __init__(self, num_pages: int, first_page: int = 1):
+        self._free = list(range(num_pages - 1, first_page - 1, -1))
+        self.capacity = num_pages - first_page
+        self.high_water = 0
+
+    @property
+    def num_free(self) -> int:
+        return len(self._free)
+
+    @property
+    def num_used(self) -> int:
+        return self.capacity - len(self._free)
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(
+                f"page pool exhausted: need {n}, free {len(self._free)}"
+            )
+        pages = [self._free.pop() for _ in range(n)]
+        self.high_water = max(self.high_water, self.num_used)
+        return pages
+
+    def free(self, pages: List[int]) -> None:
+        self._free.extend(pages)
+
+
+class ServingEngine:
+    """Continuous-batching paged-KV serving.
+
+    Usage::
+
+        eng = ServingEngine(model, params, max_batch=4, max_context=512)
+        rid = eng.submit([1, 2, 3], max_new_tokens=32)
+        outputs = eng.run()          # {rid: [token, ...]}
+
+    Greedy by default; sampled mode via temperature/top_k/top_p.  Requests
+    queue when all rows are busy or the page pool is full, and are admitted
+    as rows/pages free up — the page pool may be sized well below
+    max_batch * max_context (see ``total_pages``).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        max_batch: int,
+        max_context: int,
+        page_size: int = 128,
+        total_pages: Optional[int] = None,
+        kv_quant: Optional[str] = None,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        eos_token_id: Optional[int] = None,
+        pad_token_id: int = 0,
+        prompt_buckets: Tuple[int, ...] = (32, 128, 512, 2048),
+        seed: int = 0,
+    ):
+        from vats_tpu.models.text_lm import resolve_dtype
+        from vats_tpu.ops.decode_attention import PagedKVCache
+
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
+        cfg = model.cfg if hasattr(model, "cfg") else model.model.cfg
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_context = min(max_context, cfg.max_seq_len)
+        self.page_size = page_size
+        self.pages_per_row = -(-self.max_context // page_size)
+        self.eos_token_id = eos_token_id
+        self.pad_token_id = pad_token_id
+        self.prompt_buckets = tuple(
+            b for b in sorted(prompt_buckets) if b <= self.max_context
+        ) or (self.max_context,)
+        self._sample_kw = dict(
+            do_sample=do_sample, temperature=temperature, top_k=top_k,
+            top_p=top_p,
+        )
+        self._rng = jax.random.PRNGKey(seed)
+
+        # physical pool: page 0 is the scratch page inactive rows point at
+        n_pages = total_pages if total_pages is not None else (
+            max_batch * self.pages_per_row + 1
+        )
+        proto = PagedKVCache.create(
+            num_layers=cfg.num_layers, batch_size=1,
+            max_seq_len=n_pages * page_size, kv_heads=cfg.query_groups,
+            head_dim=cfg.head_dim, page_size=page_size,
+            dtype=jnp.int8 if kv_quant == "int8" else resolve_dtype(cfg.dtype),
+        )
+        self.pool = proto.kv_pages
+        self.scales = proto.kv_scales  # None unless int8
+        self.allocator = PageAllocator(n_pages)
+
+        # host-side row state
+        self.tables = np.zeros((max_batch, self.pages_per_row), np.int32)
+        self.lengths = np.zeros((max_batch,), np.int32)
+        self.last_tokens = np.zeros((max_batch,), np.int32)
+        self.row_request: List[Optional[Request]] = [None] * max_batch
+        self.row_pages: List[List[int]] = [[] for _ in range(max_batch)]
+        self.queue: List[Request] = []
+        self.preemptions = 0
+        self._next_rid = 0
+        self._jit_prefill: Dict[int, Any] = {}
+        self._jit_decode = None
+
+    # ---------------- public API ----------------
+
+    def submit(self, prompt_ids: List[int], max_new_tokens: int) -> int:
+        if not prompt_ids:
+            raise ValueError("empty prompt")
+        if len(prompt_ids) >= self.max_context:
+            raise ValueError(
+                f"prompt ({len(prompt_ids)}) >= max_context "
+                f"({self.max_context})"
+            )
+        worst_ctx = min(
+            len(prompt_ids) + max_new_tokens + 1, self.max_context
+        )
+        if -(-worst_ctx // self.page_size) > self.allocator.capacity:
+            raise ValueError(
+                f"request footprint ({worst_ctx} tokens) exceeds the page "
+                f"pool ({self.allocator.capacity} pages x {self.page_size})"
+            )
+        rid = self._next_rid
+        self._next_rid += 1
+        self.queue.append(Request(rid, list(prompt_ids), max_new_tokens))
+        return rid
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drive until every submitted request completes; returns
+        {rid: generated token ids}."""
+        finished: Dict[int, List[int]] = {}
+        while self.queue or any(r is not None for r in self.row_request):
+            for req in self.step():
+                finished[req.rid] = req.output_ids
+        return finished
+
+    def step(self) -> List[Request]:
+        """Admit what fits, run one decode step, retire finished rows."""
+        self._admit()
+        if not any(r is not None for r in self.row_request):
+            return []
+        self._decode_step()
+        return self._retire()
+
+    # ---------------- internals ----------------
+
+    def _cache_view(self, tables: np.ndarray, lengths: np.ndarray):
+        from vats_tpu.ops.decode_attention import PagedKVCache
+
+        return PagedKVCache(
+            kv_pages=self.pool,
+            page_table=jnp.asarray(tables, jnp.int32),
+            lengths=jnp.asarray(lengths, jnp.int32),
+            kv_scales=self.scales,
+            head_dim=self.cfg.head_dim,
+        )
+
+    def _bucket(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        # beyond the largest bucket (e.g. a preempted continuation's long
+        # prompt): round up to the 128-lane tile, capped at max_context
+        return min(-(-n // 128) * 128, self.max_context)
+
+    def _admit(self) -> None:
+        for row in range(self.max_batch):
+            if not self.queue or self.row_request[row] is not None:
+                continue
+            req = self.queue[0]
+            plen = len(req.prompt_ids)
+            need = -(-(plen + 1) // self.page_size)  # prompt + first decode
+            if need > self.allocator.num_free:
+                break  # head-of-line waits for pages to free
+            self.queue.pop(0)
+            pages = self.allocator.alloc(need)
+            self.row_pages[row] = pages
+            self.tables[row, :] = 0
+            self.tables[row, : len(pages)] = pages
+            self.row_request[row] = req
+            self._prefill(row, req)
+
+    def _prefill(self, row: int, req: Request) -> None:
+        plen = len(req.prompt_ids)
+        bucket = self._bucket(plen)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :plen] = req.prompt_ids
+        mask = np.zeros((1, bucket), bool)
+        mask[0, :plen] = True
+
+        if bucket not in self._jit_prefill:
+            engine = self
+
+            def prefill_fn(params, pool, scales, table, ids, mask, last_idx):
+                from vats_tpu.ops.decode_attention import PagedKVCache
+
+                cache = PagedKVCache(
+                    kv_pages=pool, page_table=table,
+                    lengths=jnp.zeros((1,), jnp.int32),
+                    kv_scales=scales, head_dim=engine.cfg.head_dim,
+                )
+                logits, cache, _ = engine.model.apply(
+                    params, ids, padding_mask=mask, paged_cache=cache,
+                    deterministic=True, readout_positions=last_idx,
+                )
+                return logits[:, 0], cache.kv_pages, cache.kv_scales
+
+            self._jit_prefill[bucket] = jax.jit(
+                prefill_fn, donate_argnums=(1, 2)
+            )
+
+        logits, self.pool, self.scales = self._jit_prefill[bucket](
+            self.params, self.pool, self.scales,
+            jnp.asarray(self.tables[row : row + 1], jnp.int32),
+            jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray([plen - 1], jnp.int32),
+        )
+        self._rng, srng = jax.random.split(self._rng)
+        tok = int(jax.device_get(self._sample(srng, logits))[0])
+        self.lengths[row] = plen
+        self.last_tokens[row] = tok
+        req.output_ids.append(tok)
+        self._maybe_finish(row, req, tok)
+
+    def _sample(self, rng, logits):
+        from vats_tpu.inference.sampling import sample_logits
+
+        return sample_logits(rng, logits, **self._sample_kw)
+
+    def _ensure_pages(self) -> None:
+        """Every active row needs its NEXT position's page mapped before the
+        decode step commits there.  When the pool is exhausted mid-flight,
+        the youngest row is PREEMPTED — requeued as a continuation whose
+        prompt is (original prompt + tokens so far) — and its pages freed,
+        vLLM-style (with greedy decoding the continuation reproduces the
+        un-preempted tokens exactly; sampled mode resumes a valid stream)."""
+        for row, req in enumerate(self.row_request):
+            if req is None or req.done:
+                continue
+            slot = int(self.lengths[row]) // self.page_size
+            while slot >= len(self.row_pages[row]):
+                if self.allocator.num_free > 0:
+                    page = self.allocator.alloc(1)[0]
+                    self.row_pages[row].append(page)
+                    self.tables[row, slot] = page
+                    continue
+                victim = self._pick_victim(exclude=row)
+                if victim is None:
+                    # only this row holds pages: impossible by the submit
+                    # capacity guard, but fail loudly rather than spin
+                    raise MemoryError("page pool exhausted with no victim")
+                self._preempt(victim)
+
+    def _pick_victim(self, exclude: int) -> Optional[int]:
+        """Youngest active row (fewest generated tokens) other than
+        ``exclude`` — it has the least work to replay."""
+        best, best_out = None, None
+        for row, req in enumerate(self.row_request):
+            if req is None or row == exclude:
+                continue
+            n = len(req.output_ids)
+            if best is None or n < best_out:
+                best, best_out = row, n
+        return best
+
+    def _preempt(self, row: int) -> None:
+        self.preemptions += 1
+        req = self.row_request[row]
+        cont = Request(
+            rid=req.rid,
+            prompt_ids=req.prompt_ids + req.output_ids,
+            max_new_tokens=req.max_new_tokens - len(req.output_ids),
+            carried=req.carried + req.output_ids,
+        )
+        self.queue.insert(0, cont)
+        self.allocator.free(self.row_pages[row])
+        self.row_pages[row] = []
+        self.tables[row, :] = 0
+        self.lengths[row] = 0
+        self.last_tokens[row] = 0
+        self.row_request[row] = None
+
+    def _decode_step(self) -> None:
+        self._ensure_pages()
+        if self._jit_decode is None:
+            engine = self
+
+            def decode_fn(params, pool, scales, tables, lengths, tokens, rng):
+                from vats_tpu.ops.decode_attention import PagedKVCache
+
+                cache = PagedKVCache(
+                    kv_pages=pool, page_table=tables, lengths=lengths,
+                    kv_scales=scales, head_dim=engine.cfg.head_dim,
+                )
+                logits, cache, _ = engine.model.apply(
+                    params, tokens[:, None], paged_cache=cache,
+                    deterministic=True,
+                )
+                nxt = engine._sample(rng, logits[:, 0])
+                return nxt, cache.kv_pages, cache.kv_scales
+
+            self._jit_decode = jax.jit(decode_fn, donate_argnums=(1, 2))
+
+        self._rng, srng = jax.random.split(self._rng)
+        nxt, self.pool, self.scales = self._jit_decode(
+            self.params, self.pool, self.scales,
+            jnp.asarray(self.tables, jnp.int32),
+            jnp.asarray(self.lengths, jnp.int32),
+            jnp.asarray(self.last_tokens, jnp.int32),
+            srng,
+        )
+        nxt = np.asarray(jax.device_get(nxt))
+        for row, req in enumerate(self.row_request):
+            if req is None or req.done:
+                continue
+            self.lengths[row] += 1  # the step committed last_tokens[row]
+            tok = int(nxt[row])
+            self.last_tokens[row] = tok
+            req.output_ids.append(tok)
+            self._maybe_finish(row, req, tok)
+
+    def _maybe_finish(self, row: int, req: Request, tok: int) -> None:
+        hit_eos = self.eos_token_id is not None and tok == self.eos_token_id
+        # the final sampled token is reported but never committed to KV
+        if hit_eos or len(req.output_ids) >= req.max_new_tokens or (
+            int(self.lengths[row]) + 1 >= self.max_context
+        ):
+            req.done = True
+
+    def _retire(self) -> List[Request]:
+        out = []
+        for row, req in enumerate(self.row_request):
+            if req is not None and req.done:
+                if req.carried:
+                    req.output_ids = req.carried + req.output_ids
+                    req.carried = []
+                out.append(req)
+                self.allocator.free(self.row_pages[row])
+                self.row_pages[row] = []
+                self.tables[row, :] = 0
+                self.lengths[row] = 0
+                self.last_tokens[row] = 0
+                self.row_request[row] = None
+        return out
