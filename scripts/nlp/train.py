@@ -41,6 +41,9 @@ def parse_args():
     p.add_argument("--early-stop-patience", type=int, default=5)
     p.add_argument("--sample-prompt", default="Once upon a time, ")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--fused-ce-chunk", type=int, default=None,
+                   help="fused readout+cross-entropy chunk size (avoids the "
+                        "[B, T, V] logits buffer; try 128)")
     p.add_argument("--mesh", default=None,
                    help="comma-separated mesh axes 'data=2,fsdp=4,tensor=1' — "
                         "enables sharded training over all (local or global) "
@@ -98,7 +101,8 @@ def main():
             model_args = _MA.from_dict(resume_meta["model_args"])
             logger.info("resumed model args from %s", args.resume)
     training_args = TrainingArgs(
-        batch_size=args.batch_size, max_train_tokens=args.max_train_tokens
+        batch_size=args.batch_size, max_train_tokens=args.max_train_tokens,
+        fused_ce_chunk=args.fused_ce_chunk,
     )
     seq_len = args.seq_len or min(model_args.max_seq_len, 512)
 

@@ -17,7 +17,8 @@ scores/values FLOPs at the bench sequence length.  Prints one JSON line.
 
 Env: BENCH_TRAIN_TIER=medium_dense|toy  BENCH_TRAIN_BATCH  BENCH_TRAIN_SEQ
      BENCH_TRAIN_EXPERTS / BENCH_TRAIN_DISPATCH (expert-count overrides)
-     BENCH_TRAIN_REMAT=0|1
+     BENCH_TRAIN_REMAT=0|1  BENCH_TRAIN_FUSED_CE=<chunk|0> (default 128:
+     fused readout+CE — the fp32 [B, T, V] logits buffer never exists)
 """
 
 import json
@@ -49,7 +50,13 @@ def main():
     tier = os.environ.get(
         "BENCH_TRAIN_TIER", "medium_dense" if on_tpu else "toy"
     )
-    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    # medium_dense operating point (measured on one v5e): B=12 with the
+    # fused readout+CE and remat — 13.3k tok/s, MFU 0.29.  B=16 OOMs by
+    # 1.1 GB without scan_layers; with scan it fits but runs 17% slower
+    # (layer-boundary materialization), so B=12 loop-mode wins.
+    batch = int(os.environ.get(
+        "BENCH_TRAIN_BATCH", "12" if tier == "medium_dense" else "16"
+    ))
     seq_len = int(os.environ.get("BENCH_TRAIN_SEQ", "512"))
     experts = int(os.environ.get("BENCH_TRAIN_EXPERTS", "0"))
     remat = os.environ.get("BENCH_TRAIN_REMAT", "1") == "1"
@@ -60,7 +67,8 @@ def main():
             dropout=0.1, left_window=-1, use_mqa=False,
             num_experts=experts or 1, top_k=min(2, experts or 1),
             gradient_checkpointing=remat, moe_dispatch=dispatch,
-            capacity_factor=1.25, max_seq_len=seq_len, scan_layers=False,
+            capacity_factor=1.25, max_seq_len=seq_len,
+            scan_layers=os.environ.get("BENCH_TRAIN_SCAN", "0") == "1",
         )
     else:
         from tools.bench_shapes import BENCH_CFG
@@ -75,7 +83,10 @@ def main():
         )
 
     model = TextLM(cfg)
-    targs = TrainingArgs(grad_accum_steps=1)
+    fused_ce = int(os.environ.get("BENCH_TRAIN_FUSED_CE", "128"))
+    targs = TrainingArgs(
+        grad_accum_steps=1, fused_ce_chunk=fused_ce or None
+    )
     tx = create_optimizer(targs, 1000)
     state = create_train_state(
         model, tx, jax.random.PRNGKey(0),
@@ -124,7 +135,8 @@ def main():
                           f"E={cfg.num_experts} dispatch={cfg.moe_dispatch} "
                           f"({n_params/1e9:.2f}B params), B={batch}, "
                           f"T={seq_len}, fwd+bwd+AdamW"
-                          f"{' +remat' if cfg.gradient_checkpointing else ''}",
+                          f"{' +remat' if cfg.gradient_checkpointing else ''}"
+                          f"{f' +fusedCE({fused_ce})' if fused_ce else ''}",
                 "params_b": round(n_params / 1e9, 3),
                 "train_mfu": round(mfu, 4),
                 "ms_per_step": round(dt / N_ITERS * 1e3, 1),

@@ -262,6 +262,12 @@ class TrainingArgs:
     max_skipped_steps: int = 1000
     max_train_tokens: int = 1_000_000_000
     seed: int = 42
+    # TPU addition (no reference counterpart): chunk size for the fused
+    # readout+cross-entropy (train/metrics.py:fused_linear_cross_entropy).
+    # None = classic full-logits CE.  The fp32 [B, T, V] logits buffer is
+    # 2.1 GB per 8 batch rows at vocab 65536 — fusing it caps logits memory
+    # at [B, chunk, V] and lifts the single-chip training batch.
+    fused_ce_chunk: Optional[int] = None
 
 
 @dataclass

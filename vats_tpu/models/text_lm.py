@@ -149,8 +149,14 @@ class TextLM(nn.Module):
         paged_cache=None,
         deterministic: bool = True,
         readout_positions: Optional[jnp.ndarray] = None,
+        return_hidden: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[KVCache], jnp.ndarray]:
         """input_ids: [B, T] int32 -> (logits [B, T, V] fp32, cache', aux_loss).
+
+        return_hidden: skip the vocab readout and return the post-final-norm
+        hidden states [B, T, d] instead of logits — the fused-CE training
+        path (train/metrics.py:fused_linear_cross_entropy) applies the
+        readout per sequence chunk so the [B, T, V] buffer never exists.
 
         padding_mask: [B, T] bool, True = valid (reference convention).
         segment_ids: optional [B, T] int for packed multi-document batches
@@ -232,6 +238,9 @@ class TextLM(nn.Module):
             x = jnp.take_along_axis(
                 x, readout_positions.astype(jnp.int32)[:, None, None], axis=1
             )
+
+        if return_hidden:
+            return x, new_cache, total_aux
 
         if cfg.tie_weights:
             logits = embed.attend(x.astype(param_dtype))

@@ -36,8 +36,38 @@ def make_train_step_fn(
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """Build the raw (unjitted) training step — callers choose jit/shardings."""
 
+    fused_chunk = getattr(training_args, "fused_ce_chunk", None)
+
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         def loss_fn(params):
+            if fused_chunk:
+                from vats_tpu.train.metrics import fused_linear_cross_entropy
+
+                hidden, _, aux = model.apply(
+                    {"params": params},
+                    batch["input_ids"],
+                    padding_mask=batch.get("padding_mask"),
+                    deterministic=False,
+                    rngs={"dropout": rng},
+                    return_hidden=True,
+                )
+                cfg = model.cfg
+                if cfg.tie_weights:
+                    readout = params["token_embed"]["embedding"]  # [V, d]
+                else:
+                    readout = params["lm_head"]["kernel"]  # [d, V]
+                if hasattr(readout, "unbox"):  # flax LogicallyPartitioned
+                    readout = readout.unbox()
+                if not cfg.tie_weights:
+                    readout = readout.T  # -> [V, d]
+                lm = fused_linear_cross_entropy(
+                    hidden, readout, batch["labels"], chunk=fused_chunk,
+                )
+                aux = (
+                    aux if aux is not None else jnp.zeros((), jnp.float32)
+                )
+                total = lm + training_args.aux_loss_weight * aux
+                return total, (lm, aux)
             logits, _, aux = model.apply(
                 {"params": params},
                 batch["input_ids"],
