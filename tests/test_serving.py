@@ -149,3 +149,79 @@ def test_preemption_requeues_and_reproduces():
     assert out[r1] == _oracle(model, params, long_prompt_a, 10)
     assert out[r2] == _oracle(model, params, long_prompt_b, 10)
     assert eng.allocator.num_used == 0
+
+
+# ---------------- automatic prefix caching ----------------
+
+SYSTEM_PROMPT = [(13 * i) % 120 + 1 for i in range(300)]  # 2 full 128-pages
+
+
+def test_prefix_cache_unit():
+    from vats_tpu.inference.serving import PrefixCache
+
+    pc = PrefixCache()
+    keys = PrefixCache.chain_keys(SYSTEM_PROMPT, 128, 2)
+    assert pc.lookup(keys) == []
+    assert pc.insert(keys[0], 7) and pc.insert(keys[1], 9)
+    assert not pc.insert(keys[0], 11), "duplicate insert must be rejected"
+    assert pc.lookup(keys) == [7, 9]
+    # a diverging first page breaks the chain: nothing matches
+    other = PrefixCache.chain_keys([5] + SYSTEM_PROMPT[1:], 128, 2)
+    assert pc.lookup(other) == []
+    # refcounted: held pages never reclaim; idle pages do, in LRU order
+    pc.acquire(keys[:1])
+    pc.release(keys)  # insert's refs: keys[0] -> 1 (still acquired), [1] -> 0
+    assert pc.reclaim(4) == [9]
+    pc.release(keys[:1])
+    assert pc.reclaim(4) == [7]
+    assert pc.num_cached == 0
+
+
+def test_prefix_cache_sequential_hit_and_parity():
+    """Second request with the same system prompt prefills only the tail,
+    reuses the cached pages, and still reproduces its solo greedy oracle."""
+    model, params = _model_and_params()
+    eng = ServingEngine(
+        model, params, max_batch=1, max_context=512, prefix_caching=True
+    )
+    tail_a, tail_b = [3, 1, 4, 1, 5], [2, 7, 1, 8, 2, 8]
+    ra = eng.submit(SYSTEM_PROMPT + tail_a, max_new_tokens=6)
+    out_a = eng.run()[ra]
+    assert eng.prefix_cache.hit_tokens == 0
+    assert eng.prefix_cache.num_cached == 2  # both full prompt pages parked
+    rb = eng.submit(SYSTEM_PROMPT + tail_b, max_new_tokens=6)
+    out_b = eng.run()[rb]
+    assert eng.prefix_cache.hit_tokens == 256  # 2 pages reused, not re-run
+    assert out_a == _oracle(model, params, SYSTEM_PROMPT + tail_a, 6, 512)
+    assert out_b == _oracle(model, params, SYSTEM_PROMPT + tail_b, 6, 512)
+    # shared pages stay resident (LRU) but no row holds them
+    assert eng.allocator.num_used == eng.prefix_cache.num_cached
+
+
+def test_prefix_cache_concurrent_share_and_reclaim():
+    """Two rows decoding against the SAME physical prompt pages at once must
+    both match their solo oracles (shared pages are immutable); afterwards a
+    fresh prompt under pool pressure reclaims the idle cached pages."""
+    model, params = _model_and_params()
+    eng = ServingEngine(
+        model, params, max_batch=2, max_context=512, prefix_caching=True,
+        total_pages=1 + 5,  # scratch + 5: forces reclaim for the last prompt
+    )
+    tails = ([9, 9, 2], [4, 4, 4, 6])
+    rids = [eng.submit(SYSTEM_PROMPT + t, max_new_tokens=5) for t in tails]
+    out = eng.run()
+    assert eng.prefix_cache.hit_tokens == 256, "row 2 missed the shared pages"
+    for rid, t in zip(rids, tails):
+        assert out[rid] == _oracle(model, params, SYSTEM_PROMPT + t, 5, 512)
+    assert eng.prefix_cache.num_cached >= 2
+    from vats_tpu.inference.serving import PrefixCache
+
+    orig_keys = PrefixCache.chain_keys(SYSTEM_PROMPT, 128, 2)
+    fresh = [(11 * i) % 120 + 1 for i in range(400)]  # needs 4 pages, 3 free
+    rc = eng.submit(fresh, max_new_tokens=5)
+    out_c = eng.run()[rc]
+    assert out_c == _oracle(model, params, fresh, 5, 512)
+    assert len(eng.prefix_cache.lookup(orig_keys)) < 2, (
+        "pool pressure should have reclaimed idle cached pages"
+    )
+    assert eng.preemptions == 0

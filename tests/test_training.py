@@ -236,3 +236,50 @@ def test_async_checkpoint_roundtrip():
             jax.tree_util.tree_leaves(restored.params),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_policy_dots_matches_full():
+    """remat_policy='dots' must change memory, not math: grads identical."""
+    from vats_tpu.train import make_train_step
+
+    batch = next(iter(synthetic_lm_batches(
+        jax.random.PRNGKey(3), vocab_size=64, batch_size=2, seq_len=16,
+        num_batches=1,
+    )))
+    metrics = {}
+    for policy in ("full", "dots"):
+        args = tiny_args(gradient_checkpointing=True, remat_policy=policy)
+        _, t, model, state = make_setup(model_args=args)
+        step_fn = make_train_step(model, t)
+        _, m = step_fn(state, batch, jax.random.PRNGKey(4))
+        metrics[policy] = float(m["loss"])
+    np.testing.assert_allclose(metrics["full"], metrics["dots"], rtol=1e-6)
+
+
+def test_adam_mu_dtype_bf16_state_and_training():
+    """adam_mu_dtype='bfloat16' halves m's dtype and still trains."""
+    args = tiny_args()
+    t = TrainingArgs(grad_accum_steps=1, adam_mu_dtype="bfloat16")
+    model = TextLM(args)
+    tx = create_optimizer(t, num_training_steps=200)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((2, 16), jnp.int32)
+    )
+    # locate the ScaleByAdamState inside the wrapped (apply_if_finite ->
+    # chain) optimizer state and check mu's dtype
+    mus = [
+        leaf.mu for leaf in jax.tree_util.tree_leaves(
+            state.opt_state, is_leaf=lambda x: hasattr(x, "mu")
+        ) if hasattr(leaf, "mu")
+    ]
+    assert mus, "no ScaleByAdamState found in opt_state"
+    for mu in mus:
+        for leaf in jax.tree_util.tree_leaves(mu):
+            assert leaf.dtype == jnp.bfloat16
+    step_fn = make_train_step(model, t)
+    batch = next(iter(synthetic_lm_batches(
+        jax.random.PRNGKey(5), vocab_size=64, batch_size=2, seq_len=16,
+        num_batches=1,
+    )))
+    state2, m = step_fn(state, batch, jax.random.PRNGKey(6))
+    assert np.isfinite(float(m["loss"]))

@@ -62,13 +62,15 @@ def main():
     remat = os.environ.get("BENCH_TRAIN_REMAT", "1") == "1"
     dispatch = os.environ.get("BENCH_TRAIN_DISPATCH", "auto")
 
+    dropout = float(os.environ.get("BENCH_TRAIN_DROPOUT", "0.1"))
     if tier == "medium_dense":
         cfg = nlp_medium(
-            dropout=0.1, left_window=-1, use_mqa=False,
+            dropout=dropout, left_window=-1, use_mqa=False,
             num_experts=experts or 1, top_k=min(2, experts or 1),
             gradient_checkpointing=remat, moe_dispatch=dispatch,
             capacity_factor=1.25, max_seq_len=seq_len,
             scan_layers=os.environ.get("BENCH_TRAIN_SCAN", "0") == "1",
+            remat_policy=os.environ.get("BENCH_TRAIN_REMAT_POLICY", "full"),
         )
     else:
         from tools.bench_shapes import BENCH_CFG
@@ -85,7 +87,8 @@ def main():
     model = TextLM(cfg)
     fused_ce = int(os.environ.get("BENCH_TRAIN_FUSED_CE", "128"))
     targs = TrainingArgs(
-        grad_accum_steps=1, fused_ce_chunk=fused_ce or None
+        grad_accum_steps=1, fused_ce_chunk=fused_ce or None,
+        adam_mu_dtype=os.environ.get("BENCH_TRAIN_MU_DTYPE") or None,
     )
     tx = create_optimizer(targs, 1000)
     state = create_train_state(

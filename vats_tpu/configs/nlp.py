@@ -57,6 +57,12 @@ class ModelArgs:
     capacity_factor: float = -1.0  # <=0: lossless dispatch
     moe_double_norm: bool = True  # replicate reference double pre-norm
     scan_layers: bool = False  # lax.scan over layers (compile-time win)
+    # rematerialization policy under gradient_checkpointing:
+    #   'full'  — save only block boundaries (min memory, one extra fwd)
+    #   'dots'  — save every weight-matmul output (jax
+    #             dots_with_no_batch_dims_saveable: bwd recomputes only
+    #             elementwise/attention math; ~d_ffn*T*B bf16 extra/layer)
+    remat_policy: str = "full"
     apply_window_in_xla: bool = True  # honor SWA even on the XLA path
 
     def __post_init__(self):
@@ -268,6 +274,11 @@ class TrainingArgs:
     # 2.1 GB per 8 batch rows at vocab 65536 — fusing it caps logits memory
     # at [B, chunk, V] and lifts the single-chip training batch.
     fused_ce_chunk: Optional[int] = None
+    # TPU addition: dtype for AdamW's first moment (optax mu_dtype).
+    # 'bfloat16' halves m — 1.75 GB at the 0.88B single-chip tier — with
+    # no measurable loss-curve change (m is a running mean of bf16 grads);
+    # v (the variance) always stays fp32.  None = fp32 (reference parity).
+    adam_mu_dtype: Optional[str] = None
 
 
 @dataclass

@@ -18,6 +18,16 @@ per token and serves one fixed batch,
     ride along against a reserved scratch page), and finished rows retire
     and free their pages mid-flight while the rest keep decoding —
     continuous batching with static shapes, the TPU-native constraint.
+  * :class:`PrefixCache` — automatic prefix caching (vLLM-style): full
+    prompt pages are content-addressed by a chained hash of their tokens;
+    a new request whose prompt prefix matches cached pages maps them into
+    its page table (refcounted) and prefills ONLY the uncached tail at the
+    matching sequence offset (the paged attention path natively supports
+    prefill at lengths > 0).  Retired pages park in an LRU pool and are
+    reclaimed only under memory pressure, so repeated system prompts cost
+    one prefill total.  Only FULL pages are ever shared, so shared pages
+    are immutable — no copy-on-write needed (decode always writes to the
+    private tail page).
 
 Design notes for the jit boundary:
   * one prefill program per prompt bucket, one decode program total; page
@@ -84,6 +94,89 @@ class PageAllocator:
         self._free.extend(pages)
 
 
+class PrefixCache:
+    """Content-addressed cache of immutable full KV pages.
+
+    Pages are keyed by a CHAINED hash — page i's key covers tokens
+    [0, (i+1)*page_size) — so a hit on page i implies the whole prefix
+    matches, never just that one window.  Refcounted while mapped by
+    active rows; refcount-0 pages park in an LRU (insertion-ordered dict)
+    and return to the allocator only when :meth:`reclaim` is called under
+    memory pressure."""
+
+    def __init__(self):
+        self._page_of: Dict[int, int] = {}  # key -> physical page
+        self._refs: Dict[int, int] = {}  # key -> active refcount
+        self._key_of: Dict[int, int] = {}  # physical page -> key
+        self._lru: Dict[int, int] = {}  # key -> page, refcount == 0 only
+        self.hit_tokens = 0
+        self.query_tokens = 0
+
+    @staticmethod
+    def chain_keys(prompt_ids: List[int], page_size: int, n_pages: int):
+        keys, h = [], 0
+        for i in range(n_pages):
+            h = hash((h, tuple(prompt_ids[i * page_size:(i + 1) * page_size])))
+            keys.append(h)
+        return keys
+
+    def lookup(self, keys: List[int]) -> List[int]:
+        """Longest cached prefix: physical pages for leading keys present."""
+        pages = []
+        for k in keys:
+            page = self._page_of.get(k)
+            if page is None:
+                break
+            pages.append(page)
+        return pages
+
+    def acquire(self, keys: List[int]) -> None:
+        for k in keys:
+            self._refs[k] = self._refs.get(k, 0) + 1
+            self._lru.pop(k, None)
+
+    def release(self, keys: List[int]) -> None:
+        for k in keys:
+            n = self._refs.get(k, 0) - 1
+            if n > 0:
+                self._refs[k] = n
+            else:
+                self._refs.pop(k, None)
+                if k in self._page_of:
+                    self._lru[k] = self._page_of[k]
+
+    def insert(self, key: int, page: int) -> bool:
+        """Register a page (the caller then holds one ref).  Returns False if
+        the key is already mapped (first writer wins — the caller keeps its
+        private copy and must NOT count the key among its refs)."""
+        if key in self._page_of:
+            return False
+        self._page_of[key] = page
+        self._key_of[page] = key
+        self._refs[key] = self._refs.get(key, 0) + 1
+        return True
+
+    def owns(self, page: int) -> bool:
+        return page in self._key_of
+
+    def reclaim(self, n: int) -> List[int]:
+        """Evict up to n LRU refcount-0 pages; returns the physical pages."""
+        out = []
+        for k in list(self._lru):
+            if len(out) >= n:
+                break
+            page = self._lru.pop(k)
+            self._page_of.pop(k, None)
+            self._refs.pop(k, None)
+            self._key_of.pop(page, None)
+            out.append(page)
+        return out
+
+    @property
+    def num_cached(self) -> int:
+        return len(self._page_of)
+
+
 class ServingEngine:
     """Continuous-batching paged-KV serving.
 
@@ -117,6 +210,7 @@ class ServingEngine:
         pad_token_id: int = 0,
         prompt_buckets: Tuple[int, ...] = (32, 128, 512, 2048),
         seed: int = 0,
+        prefix_caching: bool = False,
     ):
         from vats_tpu.models.text_lm import resolve_dtype
         from vats_tpu.ops.decode_attention import PagedKVCache
@@ -162,6 +256,10 @@ class ServingEngine:
         self.last_tokens = np.zeros((max_batch,), np.int32)
         self.row_request: List[Optional[Request]] = [None] * max_batch
         self.row_pages: List[List[int]] = [[] for _ in range(max_batch)]
+        # automatic prefix caching: keys this row holds refs on (cache-owned
+        # pages are excluded from allocator.free at retirement)
+        self.prefix_cache = PrefixCache() if prefix_caching else None
+        self.row_cached_keys: List[List[int]] = [[] for _ in range(max_batch)]
         self.queue: List[Request] = []
         self.preemptions = 0
         self._next_rid = 0
@@ -235,34 +333,66 @@ class ServingEngine:
                 continue
             req = self.queue[0]
             plen = len(req.prompt_ids)
-            need = -(-(plen + 1) // self.page_size)  # prompt + first decode
+            total_slots = -(-(plen + 1) // self.page_size)  # + first decode
+            keys: List[int] = []
+            cached_pages: List[int] = []
+            if self.prefix_cache is not None:
+                keys = PrefixCache.chain_keys(
+                    req.prompt_ids, self.page_size, plen // self.page_size
+                )
+                # cap the hit below the whole prompt: the LAST prompt token
+                # must be recomputed so its logits seed the first decode
+                usable = (plen - 1) // self.page_size
+                cached_pages = self.prefix_cache.lookup(keys)[:usable]
+                self.prefix_cache.query_tokens += plen
+                self.prefix_cache.hit_tokens += (
+                    len(cached_pages) * self.page_size
+                )
+            cached_slots = len(cached_pages)
+            need = total_slots - cached_slots
+            if need > self.allocator.num_free:
+                self._reclaim(need - self.allocator.num_free)
             if need > self.allocator.num_free:
                 break  # head-of-line waits for pages to free
             self.queue.pop(0)
-            pages = self.allocator.alloc(need)
+            cached_keys = keys[:cached_slots]
+            if cached_keys:
+                self.prefix_cache.acquire(cached_keys)
+            pages = cached_pages + self.allocator.alloc(need)
             self.row_pages[row] = pages
             self.tables[row, :] = 0
             self.tables[row, : len(pages)] = pages
+            self.row_cached_keys[row] = list(cached_keys)
             self.row_request[row] = req
-            self._prefill(row, req)
+            self._prefill(row, req, cached_slots * self.page_size, keys)
 
-    def _prefill(self, row: int, req: Request) -> None:
+    def _prefill(
+        self, row: int, req: Request, cached_len: int = 0, keys: tuple = ()
+    ) -> None:
+        """Prefill the UNCACHED tail of the prompt at sequence offset
+        ``cached_len`` (page-aligned; 0 when prefix caching is off or
+        missed).  The paged attention path computes positions and causal
+        masks from the cache ``lengths``, so a tail prefill is just a
+        prefill whose starting length is nonzero."""
         plen = len(req.prompt_ids)
-        bucket = self._bucket(plen)
+        tail = req.prompt_ids[cached_len:]
+        tlen = len(tail)
+        bucket = self._bucket(tlen)
         ids = np.zeros((1, bucket), np.int32)
-        ids[0, :plen] = req.prompt_ids
+        ids[0, :tlen] = tail
         mask = np.zeros((1, bucket), bool)
-        mask[0, :plen] = True
+        mask[0, :tlen] = True
 
         if bucket not in self._jit_prefill:
             engine = self
 
-            def prefill_fn(params, pool, scales, table, ids, mask, last_idx):
+            def prefill_fn(
+                params, pool, scales, table, ids, mask, last_idx, start
+            ):
                 from vats_tpu.ops.decode_attention import PagedKVCache
 
                 cache = PagedKVCache(
-                    kv_pages=pool, page_table=table,
-                    lengths=jnp.zeros((1,), jnp.int32),
+                    kv_pages=pool, page_table=table, lengths=start,
                     kv_scales=scales, head_dim=engine.cfg.head_dim,
                 )
                 logits, cache, _ = engine.model.apply(
@@ -279,13 +409,20 @@ class ServingEngine:
             self.params, self.pool, self.scales,
             jnp.asarray(self.tables[row : row + 1], jnp.int32),
             jnp.asarray(ids), jnp.asarray(mask),
-            jnp.asarray([plen - 1], jnp.int32),
+            jnp.asarray([tlen - 1], jnp.int32),
+            jnp.asarray([cached_len], jnp.int32),
         )
         self._rng, srng = jax.random.split(self._rng)
         tok = int(jax.device_get(self._sample(srng, logits))[0])
         self.lengths[row] = plen
         self.last_tokens[row] = tok
         req.output_ids.append(tok)
+        if self.prefix_cache is not None:
+            # register the newly-written FULL prompt pages (immutable from
+            # here on: decode writes at positions >= plen, past them)
+            for i in range(cached_len // self.page_size, plen // self.page_size):
+                if self.prefix_cache.insert(keys[i], self.row_pages[row][i]):
+                    self.row_cached_keys[row].append(keys[i])
         self._maybe_finish(row, req, tok)
 
     def _sample(self, rng, logits):
@@ -305,6 +442,8 @@ class ServingEngine:
                 continue
             slot = int(self.lengths[row]) // self.page_size
             while slot >= len(self.row_pages[row]):
+                if self.allocator.num_free == 0:
+                    self._reclaim(1)  # evict idle cached pages before anyone
                 if self.allocator.num_free > 0:
                     page = self.allocator.alloc(1)[0]
                     self.row_pages[row].append(page)
@@ -329,6 +468,32 @@ class ServingEngine:
                 best, best_out = row, n
         return best
 
+    def _reclaim(self, n: int) -> None:
+        """Return up to ``n`` idle (refcount-0) prefix-cache pages to the
+        allocator — called only under memory pressure."""
+        if self.prefix_cache is not None and n > 0:
+            pages = self.prefix_cache.reclaim(n)
+            if pages:
+                self.allocator.free(pages)
+
+    def _free_row(self, row: int) -> None:
+        """Release a row's pages: refs on shared prefix pages are dropped
+        (they park in the cache's LRU, still resident), private pages go
+        back to the allocator."""
+        pc = self.prefix_cache
+        if pc is not None and self.row_cached_keys[row]:
+            pc.release(self.row_cached_keys[row])
+            self.row_cached_keys[row] = []
+        self.allocator.free(
+            [p for p in self.row_pages[row]
+             if pc is None or not pc.owns(p)]
+        )
+        self.row_pages[row] = []
+        self.tables[row, :] = 0
+        self.lengths[row] = 0
+        self.last_tokens[row] = 0
+        self.row_request[row] = None
+
     def _preempt(self, row: int) -> None:
         self.preemptions += 1
         req = self.row_request[row]
@@ -339,12 +504,7 @@ class ServingEngine:
             carried=req.carried + req.output_ids,
         )
         self.queue.insert(0, cont)
-        self.allocator.free(self.row_pages[row])
-        self.row_pages[row] = []
-        self.tables[row, :] = 0
-        self.lengths[row] = 0
-        self.last_tokens[row] = 0
-        self.row_request[row] = None
+        self._free_row(row)
 
     def _decode_step(self) -> None:
         self._ensure_pages()
@@ -401,10 +561,5 @@ class ServingEngine:
                     req.output_ids = req.carried + req.output_ids
                     req.carried = []
                 out.append(req)
-                self.allocator.free(self.row_pages[row])
-                self.row_pages[row] = []
-                self.tables[row, :] = 0
-                self.lengths[row] = 0
-                self.last_tokens[row] = 0
-                self.row_request[row] = None
+                self._free_row(row)
         return out

@@ -52,6 +52,11 @@ def create_optimizer(
     *,
     grad_accum_steps: Optional[int] = None,
 ) -> optax.GradientTransformation:
+    import jax.numpy as jnp
+
+    mu_dtype = training_args.adam_mu_dtype
+    if isinstance(mu_dtype, str):
+        mu_dtype = jnp.dtype(mu_dtype)
     num_warmup_steps = int(training_args.warmup_ratio * num_training_steps)
     schedule = cosine_with_warmup_schedule(
         training_args.learning_rate,
@@ -67,6 +72,7 @@ def create_optimizer(
             b2=training_args.betas[1],
             eps=training_args.epsilon,
             weight_decay=training_args.weight_decay,
+            mu_dtype=mu_dtype,
         ),
     )
     accum = (
