@@ -36,9 +36,24 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (in-process; JAX_PLATFORMS "
+                        "set after interpreter start is ignored here)")
+    p.add_argument("--decode-block-steps", type=int, default=1,
+                   help="decode steps per jitted block (amortizes the "
+                        "per-step host sync; scheduler acts every k tokens)")
+    p.add_argument("--prefix-caching", action="store_true",
+                   help="share full prompt pages across requests "
+                        "(content-addressed, refcounted)")
+    p.add_argument("--shared-prefix-len", type=int, default=0,
+                   help="prepend this many identical tokens to every "
+                        "prompt (models a common system prompt)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from vats_tpu import configs as cfgs
@@ -77,13 +92,18 @@ def main():
         do_sample=args.temperature > 0,
         temperature=args.temperature,
         seed=args.seed,
+        decode_block_steps=args.decode_block_steps,
+        prefix_caching=args.prefix_caching,
     )
 
     rng = np.random.default_rng(args.seed)
+    shared = rng.integers(
+        1, model_args.vocab_size, size=args.shared_prefix_len
+    ).astype(int).tolist()
     submit_t: dict = {}
     for i in range(args.requests):
         plen = max(1, args.prompt_len + int(rng.integers(-8, 9)))
-        prompt = rng.integers(
+        prompt = shared + rng.integers(
             1, model_args.vocab_size, size=plen
         ).astype(int).tolist()
         rid = eng.submit(prompt, max_new_tokens=args.max_new_tokens)
@@ -107,6 +127,11 @@ def main():
         f"p99 {np.percentile(lat, 99):.2f}s | "
         f"page high-water {eng.allocator.high_water}/"
         f"{eng.allocator.capacity}, preemptions {eng.preemptions}"
+        + (
+            f" | prefix-cache hit {eng.prefix_cache.hit_tokens}/"
+            f"{eng.prefix_cache.query_tokens} prompt tokens"
+            if eng.prefix_cache is not None else ""
+        )
     )
 
 

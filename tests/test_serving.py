@@ -225,3 +225,40 @@ def test_prefix_cache_concurrent_share_and_reclaim():
         "pool pressure should have reclaimed idle cached pages"
     )
     assert eng.preemptions == 0
+
+
+def test_decode_block_steps_matches_single_step():
+    """k-step blocked decode (one jitted fori_loop, one host sync per block)
+    must reproduce single-step outputs exactly — including budgets that are
+    not multiples of k, EOS mid-block, and continuous batching across
+    retirements."""
+    model, params = _model_and_params()
+    # discover an EOS that fires mid-block for prompt 0
+    toks = _oracle(model, params, PROMPTS[0], 9)
+    eos = toks[5]
+    outs = {}
+    for k in (1, 4):
+        eng = ServingEngine(
+            model, params, max_batch=2, max_context=256, eos_token_id=eos,
+            decode_block_steps=k,
+        )
+        for i, p in enumerate(PROMPTS):
+            eng.submit(p, max_new_tokens=7 + i)
+        outs[k] = eng.run()  # rids are assigned identically in both engines
+        assert eng.allocator.num_used == 0
+    assert outs[1] == outs[4]
+
+
+def test_decode_block_near_context_cap_falls_back():
+    """A row within k of max_context must not overrun its page table: the
+    engine falls back to single steps and the row finishes at the cap."""
+    model, params = _model_and_params()
+    prompt = [(3 * i) % 120 + 1 for i in range(120)]
+    eng = ServingEngine(
+        model, params, max_batch=1, max_context=128, decode_block_steps=4
+    )
+    rid = eng.submit(prompt, max_new_tokens=64)  # cap at 128 ctx first
+    out = eng.run()[rid]
+    assert len(out) == 128 - 120  # stopped by max_context, not budget
+    solo = _oracle(model, params, prompt, 64, 128)
+    assert out == solo[: len(out)]

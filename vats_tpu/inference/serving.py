@@ -36,8 +36,15 @@ Design notes for the jit boundary:
   * the pool (and int8 scales pool) is donated through every call — the
     kernel's input_output_aliases keep the update in place under jit.
   * per-step host sync is inherent to continuous batching (the scheduler
-    must see tokens to retire/admit); production engines amortize it by
-    admitting every k steps, which `decode_block_steps` exposes.
+    must see tokens to retire/admit); ``decode_block_steps=k`` amortizes
+    it by running k decode steps in ONE jitted fori_loop program and
+    syncing the scheduler once per block.  Rows that hit EOS or their
+    token budget mid-block decode a few wasted tokens past the end; the
+    host truncates their outputs and lengths, and the over-committed KV
+    positions (all >= the corrected length) are never attended and are
+    overwritten by later commits.  Near the context cap the engine falls
+    back to single steps so a block can never run a row past its page
+    table.
 """
 
 from __future__ import annotations
@@ -211,6 +218,7 @@ class ServingEngine:
         prompt_buckets: Tuple[int, ...] = (32, 128, 512, 2048),
         seed: int = 0,
         prefix_caching: bool = False,
+        decode_block_steps: int = 1,
     ):
         from vats_tpu.models.text_lm import resolve_dtype
         from vats_tpu.ops.decode_attention import PagedKVCache
@@ -263,8 +271,11 @@ class ServingEngine:
         self.queue: List[Request] = []
         self.preemptions = 0
         self._next_rid = 0
+        if decode_block_steps < 1:
+            raise ValueError("decode_block_steps must be >= 1")
+        self.decode_block_steps = decode_block_steps
         self._jit_prefill: Dict[int, Any] = {}
-        self._jit_decode = None
+        self._jit_decode: Dict[int, Any] = {}
 
     # ---------------- public API ----------------
 
@@ -430,17 +441,18 @@ class ServingEngine:
 
         return sample_logits(rng, logits, **self._sample_kw)
 
-    def _ensure_pages(self) -> None:
-        """Every active row needs its NEXT position's page mapped before the
-        decode step commits there.  When the pool is exhausted mid-flight,
-        the youngest row is PREEMPTED — requeued as a continuation whose
-        prompt is (original prompt + tokens so far) — and its pages freed,
-        vLLM-style (with greedy decoding the continuation reproduces the
-        un-preempted tokens exactly; sampled mode resumes a valid stream)."""
+    def _ensure_pages(self, lookahead: int = 1) -> None:
+        """Every active row needs pages mapped for the next ``lookahead``
+        positions before the decode block commits there.  When the pool is
+        exhausted mid-flight, the youngest row is PREEMPTED — requeued as a
+        continuation whose prompt is (original prompt + tokens so far) — and
+        its pages freed, vLLM-style (with greedy decoding the continuation
+        reproduces the un-preempted tokens exactly; sampled mode resumes a
+        valid stream)."""
         for row, req in enumerate(self.row_request):
             if req is None or req.done:
                 continue
-            slot = int(self.lengths[row]) // self.page_size
+            slot = (int(self.lengths[row]) + lookahead - 1) // self.page_size
             while slot >= len(self.row_pages[row]):
                 if self.allocator.num_free == 0:
                     self._reclaim(1)  # evict idle cached pages before anyone
@@ -506,9 +518,10 @@ class ServingEngine:
         self.queue.insert(0, cont)
         self._free_row(row)
 
-    def _decode_step(self) -> None:
-        self._ensure_pages()
-        if self._jit_decode is None:
+    def _decode_fn(self, k: int):
+        """One jitted program running ``k`` decode steps (k static; compiled
+        once per distinct k — in practice {1, decode_block_steps})."""
+        if k not in self._jit_decode:
             engine = self
 
             def decode_fn(params, pool, scales, tables, lengths, tokens, rng):
@@ -518,32 +531,65 @@ class ServingEngine:
                     kv_pages=pool, page_table=tables, lengths=lengths,
                     kv_scales=scales, head_dim=engine.cfg.head_dim,
                 )
-                logits, cache, _ = engine.model.apply(
-                    params, tokens[:, None], paged_cache=cache,
-                    deterministic=True,
+                out0 = jnp.zeros((tokens.shape[0], k), jnp.int32)
+
+                def body(i, carry):
+                    cache, toks, out = carry
+                    logits, cache, _ = engine.model.apply(
+                        params, toks[:, None], paged_cache=cache,
+                        deterministic=True,
+                    )
+                    nxt = engine._sample(
+                        jax.random.fold_in(rng, i), logits[:, 0]
+                    )
+                    return cache, nxt, out.at[:, i].set(nxt)
+
+                cache, _, out = jax.lax.fori_loop(
+                    0, k, body, (cache, tokens, out0)
                 )
-                nxt = engine._sample(rng, logits[:, 0])
-                return nxt, cache.kv_pages, cache.kv_scales
+                return out, cache.kv_pages, cache.kv_scales
 
-            self._jit_decode = jax.jit(decode_fn, donate_argnums=(1, 2))
+            self._jit_decode[k] = jax.jit(decode_fn, donate_argnums=(1, 2))
+        return self._jit_decode[k]
 
+    def _decode_step(self) -> None:
+        k = self.decode_block_steps
+        if k > 1:
+            # a block commits k tokens per active row unconditionally: fall
+            # back to single steps when any row is within k of the context
+            # cap, so the device loop can never run past a row's page table
+            margin = min(
+                (self.max_context - 1 - int(self.lengths[row])
+                 for row, req in enumerate(self.row_request)
+                 if req is not None and not req.done),
+                default=k,
+            )
+            if margin < k:
+                k = 1
+        self._ensure_pages(lookahead=k)
         self._rng, srng = jax.random.split(self._rng)
-        nxt, self.pool, self.scales = self._jit_decode(
+        out, self.pool, self.scales = self._decode_fn(k)(
             self.params, self.pool, self.scales,
             jnp.asarray(self.tables, jnp.int32),
             jnp.asarray(self.lengths, jnp.int32),
             jnp.asarray(self.last_tokens, jnp.int32),
             srng,
         )
-        nxt = np.asarray(jax.device_get(nxt))
+        out = np.asarray(jax.device_get(out))  # [B, k]
         for row, req in enumerate(self.row_request):
             if req is None or req.done:
                 continue
-            self.lengths[row] += 1  # the step committed last_tokens[row]
-            tok = int(nxt[row])
-            self.last_tokens[row] = tok
-            req.output_ids.append(tok)
-            self._maybe_finish(row, req, tok)
+            for j in range(out.shape[1]):
+                # each accepted token was committed at position lengths[row];
+                # tokens past EOS/budget stay uncounted (never attended, and
+                # overwritten in place by this row's next real commits)
+                self.lengths[row] += 1
+                tok = int(out[row, j])
+                self.last_tokens[row] = tok
+                req.output_ids.append(tok)
+                self._maybe_finish(row, req, tok)
+                if req.done:
+                    break
 
     def _maybe_finish(self, row: int, req: Request, tok: int) -> None:
         hit_eos = self.eos_token_id is not None and tok == self.eos_token_id
