@@ -42,6 +42,9 @@ def main():
     p.add_argument("--decode-block-steps", type=int, default=1,
                    help="decode steps per jitted block (amortizes the "
                         "per-step host sync; scheduler acts every k tokens)")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="speculative decoding: propose this many tokens per "
+                        "step via prompt-lookup drafts (greedy only)")
     p.add_argument("--prefix-caching", action="store_true",
                    help="share full prompt pages across requests "
                         "(content-addressed, refcounted)")
@@ -94,6 +97,7 @@ def main():
         seed=args.seed,
         decode_block_steps=args.decode_block_steps,
         prefix_caching=args.prefix_caching,
+        spec_k=args.spec_k,
     )
 
     rng = np.random.default_rng(args.seed)
@@ -131,6 +135,10 @@ def main():
             f" | prefix-cache hit {eng.prefix_cache.hit_tokens}/"
             f"{eng.prefix_cache.query_tokens} prompt tokens"
             if eng.prefix_cache is not None else ""
+        )
+        + (
+            f" | spec accept {eng.spec_accepted}/{eng.spec_proposed}"
+            if eng.spec_k else ""
         )
     )
 

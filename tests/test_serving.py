@@ -262,3 +262,52 @@ def test_decode_block_near_context_cap_falls_back():
     assert len(out) == 128 - 120  # stopped by max_context, not budget
     solo = _oracle(model, params, prompt, 64, 128)
     assert out == solo[: len(out)]
+
+
+# ---------------- speculative decoding (prompt-lookup drafts) ----------------
+
+
+def test_spec_decode_matches_greedy_exactly():
+    """spec_k must be a pure accelerator: outputs identical to single-step
+    greedy for every request, whatever the draft acceptance pattern."""
+    model, params = _model_and_params()
+    outs = {}
+    for spec in (0, 3):
+        eng = ServingEngine(
+            model, params, max_batch=2, max_context=256, spec_k=spec
+        )
+        for i, p in enumerate(PROMPTS):
+            eng.submit(p, max_new_tokens=8 + i)
+        outs[spec] = eng.run()
+        assert eng.allocator.num_used == 0
+    assert outs[0] == outs[3]
+
+
+def test_spec_decode_accepts_on_repetitive_context():
+    """A strongly periodic prompt makes the model's greedy continuation
+    periodic too; prompt-lookup drafts should then be accepted (>0) and the
+    result still match the oracle."""
+    model, params = _model_and_params()
+    period = [17, 42, 99, 5]
+    prompt = (period * 12)[:45]  # repetitive, off-period cut
+    eng = ServingEngine(
+        model, params, max_batch=1, max_context=256, spec_k=4
+    )
+    rid = eng.submit(prompt, max_new_tokens=24)
+    out = eng.run()[rid]
+    assert out == _oracle(model, params, prompt, 24)
+    assert eng.spec_proposed > 0
+
+
+def test_spec_decode_rejects_sampling():
+    model, params = _model_and_params()
+    with pytest.raises(ValueError):
+        ServingEngine(
+            model, params, max_batch=1, max_context=256, spec_k=2,
+            do_sample=True,
+        )
+    with pytest.raises(ValueError):
+        ServingEngine(
+            model, params, max_batch=1, max_context=256, spec_k=2,
+            decode_block_steps=4,
+        )

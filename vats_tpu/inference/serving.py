@@ -45,6 +45,17 @@ Design notes for the jit boundary:
     overwritten by later commits.  Near the context cap the engine falls
     back to single steps so a block can never run a row past its page
     table.
+  * ``spec_k`` enables SPECULATIVE DECODING with prompt-lookup (n-gram)
+    drafts: the host proposes k continuation tokens by matching the tail
+    n-gram of each row's context against its own history, and ONE paged
+    forward over [B, k+1] tokens verifies all of them (the same
+    nonzero-offset path tail prefills use).  Greedy acceptance takes the
+    longest drafted prefix whose argmax agrees, plus the model's first
+    correction — 1..k+1 tokens per model call.  Rejected drafts need no
+    KV rollback: their commits sit at positions >= the corrected length,
+    are never attended, and the next verify window (which always starts
+    at the corrected length and spans k+1 slots) overwrites every stale
+    position before it could come into range.
 """
 
 from __future__ import annotations
@@ -219,6 +230,8 @@ class ServingEngine:
         seed: int = 0,
         prefix_caching: bool = False,
         decode_block_steps: int = 1,
+        spec_k: int = 0,
+        spec_ngram: int = 3,
     ):
         from vats_tpu.models.text_lm import resolve_dtype
         from vats_tpu.ops.decode_attention import PagedKVCache
@@ -274,8 +287,20 @@ class ServingEngine:
         if decode_block_steps < 1:
             raise ValueError("decode_block_steps must be >= 1")
         self.decode_block_steps = decode_block_steps
+        if spec_k:
+            if do_sample:
+                raise ValueError(
+                    "spec_k uses greedy acceptance; do_sample must be False"
+                )
+            if decode_block_steps > 1:
+                raise ValueError("spec_k and decode_block_steps are exclusive")
+        self.spec_k = spec_k
+        self.spec_ngram = spec_ngram
+        self.spec_proposed = 0
+        self.spec_accepted = 0
         self._jit_prefill: Dict[int, Any] = {}
         self._jit_decode: Dict[int, Any] = {}
+        self._jit_verify = None
 
     # ---------------- public API ----------------
 
@@ -314,7 +339,10 @@ class ServingEngine:
         self._admit()
         if not any(r is not None for r in self.row_request):
             return []
-        self._decode_step()
+        if self.spec_k:
+            self._spec_step()
+        else:
+            self._decode_step()
         return self._retire()
 
     # ---------------- internals ----------------
@@ -590,6 +618,90 @@ class ServingEngine:
                 self._maybe_finish(row, req, tok)
                 if req.done:
                     break
+
+    def _draft(self, context: List[int]) -> List[int]:
+        """Prompt-lookup draft: match the tail n-gram (n = spec_ngram down
+        to 1) against the row's own history and propose the k tokens that
+        followed the latest earlier occurrence.  No draft model, no extra
+        device work — repetitive text (code, quotes, structured output)
+        accepts most drafts; random text rejects them and costs one wasted
+        window."""
+        k = self.spec_k
+        for n in range(min(self.spec_ngram, len(context) - 1), 0, -1):
+            tail = context[-n:]
+            for i in range(len(context) - n - 1, -1, -1):
+                if context[i:i + n] == tail:
+                    # i + n <= len - 1, so at least one token follows
+                    cont = context[i + n:i + n + k]
+                    return (cont + [cont[-1]] * k)[:k]
+        return [context[-1]] * k
+
+    def _spec_step(self) -> None:
+        kp1 = self.spec_k + 1
+        margin = min(
+            (self.max_context - 1 - int(self.lengths[row])
+             for row, req in enumerate(self.row_request)
+             if req is not None and not req.done),
+            default=0,
+        )
+        if margin < kp1:
+            self._decode_step()  # single-step; spec forbids block > 1
+            return
+        self._ensure_pages(lookahead=kp1)
+        drafts = np.zeros((self.max_batch, kp1), np.int32)
+        drafts[:, 0] = self.last_tokens
+        for row, req in enumerate(self.row_request):
+            if req is None or req.done:
+                continue
+            drafts[row, 1:] = self._draft(req.prompt_ids + req.output_ids)
+            self.spec_proposed += self.spec_k
+
+        if self._jit_verify is None:
+            engine = self
+
+            def verify_fn(params, pool, scales, tables, lengths, tokens):
+                from vats_tpu.ops.decode_attention import PagedKVCache
+
+                cache = PagedKVCache(
+                    kv_pages=pool, page_table=tables, lengths=lengths,
+                    kv_scales=scales, head_dim=engine.cfg.head_dim,
+                )
+                logits, cache, _ = engine.model.apply(
+                    params, tokens,
+                    padding_mask=jnp.ones_like(tokens, dtype=bool),
+                    paged_cache=cache, deterministic=True,
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return nxt, cache.kv_pages, cache.kv_scales
+
+            self._jit_verify = jax.jit(verify_fn, donate_argnums=(1, 2))
+
+        nxt, self.pool, self.scales = self._jit_verify(
+            self.params, self.pool, self.scales,
+            jnp.asarray(self.tables, jnp.int32),
+            jnp.asarray(self.lengths, jnp.int32),
+            jnp.asarray(drafts),
+        )
+        nxt = np.asarray(jax.device_get(nxt))  # [B, k+1] greedy tokens
+        for row, req in enumerate(self.row_request):
+            if req is None or req.done:
+                continue
+            for j in range(kp1):
+                # iteration j accounts the commit of drafts[row, j] (an
+                # already-accepted token) and reads the model's prediction
+                # for the next position; on a draft match the prediction IS
+                # the next committed input, so the window stays valid
+                self.lengths[row] += 1
+                tok = int(nxt[row, j])
+                self.last_tokens[row] = tok
+                req.output_ids.append(tok)
+                self._maybe_finish(row, req, tok)
+                if req.done:
+                    break
+                if j < self.spec_k and tok == int(drafts[row, j + 1]):
+                    self.spec_accepted += 1
+                    continue
+                break  # first correction ends this row's window
 
     def _maybe_finish(self, row: int, req: Request, tok: int) -> None:
         hit_eos = self.eos_token_id is not None and tok == self.eos_token_id
