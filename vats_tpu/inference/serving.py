@@ -224,6 +224,7 @@ class ServingEngine:
         temperature: float = 1.0,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        approx_top_k: bool = False,
         eos_token_id: Optional[int] = None,
         pad_token_id: int = 0,
         prompt_buckets: Tuple[int, ...] = (32, 128, 512, 2048),
@@ -253,7 +254,7 @@ class ServingEngine:
         ) or (self.max_context,)
         self._sample_kw = dict(
             do_sample=do_sample, temperature=temperature, top_k=top_k,
-            top_p=top_p,
+            top_p=top_p, approx_top_k=approx_top_k,
         )
         self._rng = jax.random.PRNGKey(seed)
 
