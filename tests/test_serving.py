@@ -311,3 +311,19 @@ def test_spec_decode_rejects_sampling():
             model, params, max_batch=1, max_context=256, spec_k=2,
             decode_block_steps=4,
         )
+
+
+def test_batched_admission_group_parity():
+    """Six simultaneous admissions prefill as one padded group (rpad=8, two
+    scratch padding rows); every request still matches its solo oracle."""
+    model, params = _model_and_params()
+    eng = ServingEngine(model, params, max_batch=8, max_context=256)
+    prompts = PROMPTS + [[42] * 19]
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    out = eng.run()
+    assert len(eng._jit_prefill) == 1, "one (bucket, rpad) program expected"
+    (bucket, rpad), = eng._jit_prefill.keys()
+    assert rpad == 8
+    for rid, p in zip(rids, prompts):
+        assert out[rid] == _oracle(model, params, p, 6)
+    assert eng.allocator.num_used == 0

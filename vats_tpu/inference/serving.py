@@ -367,7 +367,14 @@ class ServingEngine:
         # prompt): round up to the 128-lane tile, capped at max_context
         return min(-(-n // 128) * 128, self.max_context)
 
+    #: rows prefilled per program call (batched admission); group sizes are
+    #: padded to powers of two so at most log2(this)+1 programs compile per
+    #: prompt bucket.  A burst of admissions costs ceil(R/16) host
+    #: round-trips instead of R.
+    MAX_PREFILL_GROUP = 16
+
     def _admit(self) -> None:
+        ready: List[Tuple[int, Request, int, List[int]]] = []
         for row in range(self.max_batch):
             if not self.queue or self.row_request[row] is not None:
                 continue
@@ -404,26 +411,53 @@ class ServingEngine:
             self.tables[row, : len(pages)] = pages
             self.row_cached_keys[row] = list(cached_keys)
             self.row_request[row] = req
-            self._prefill(row, req, cached_slots * self.page_size, keys)
+            ready.append((row, req, cached_slots * self.page_size, keys))
 
-    def _prefill(
-        self, row: int, req: Request, cached_len: int = 0, keys: tuple = ()
+        # batched admission: group the ready rows by tail bucket and prefill
+        # each group in ONE program call
+        groups: Dict[int, List[Tuple[int, Request, int, List[int]]]] = {}
+        for item in ready:
+            row, req, cached_len, _ = item
+            bucket = self._bucket(len(req.prompt_ids) - cached_len)
+            groups.setdefault(bucket, []).append(item)
+        for bucket, items in groups.items():
+            for i in range(0, len(items), self.MAX_PREFILL_GROUP):
+                self._prefill_group(bucket, items[i:i + self.MAX_PREFILL_GROUP])
+
+    def _prefill_group(
+        self,
+        bucket: int,
+        items: List[Tuple[int, Request, int, List[int]]],
     ) -> None:
-        """Prefill the UNCACHED tail of the prompt at sequence offset
-        ``cached_len`` (page-aligned; 0 when prefix caching is off or
-        missed).  The paged attention path computes positions and causal
-        masks from the cache ``lengths``, so a tail prefill is just a
-        prefill whose starting length is nonzero."""
-        plen = len(req.prompt_ids)
-        tail = req.prompt_ids[cached_len:]
-        tlen = len(tail)
-        bucket = self._bucket(tlen)
-        ids = np.zeros((1, bucket), np.int32)
-        ids[0, :tlen] = tail
-        mask = np.zeros((1, bucket), bool)
-        mask[0, :tlen] = True
+        """Prefill up to MAX_PREFILL_GROUP admitted rows in ONE program.
 
-        if bucket not in self._jit_prefill:
+        Each row's UNCACHED prompt tail runs at its own sequence offset
+        (``cached_len``, page-aligned; 0 without a prefix-cache hit) — the
+        paged attention path computes positions and causal masks from the
+        per-row cache ``lengths``, so a batched tail prefill needs no more
+        than a lengths vector.  The group is padded to the next power of
+        two with scratch rows (token 0 against the scratch page) so at most
+        log2(MAX_PREFILL_GROUP)+1 programs exist per bucket."""
+        r = len(items)
+        rpad = 1
+        while rpad < r:
+            rpad *= 2
+        ids = np.zeros((rpad, bucket), np.int32)
+        mask = np.zeros((rpad, bucket), bool)
+        mask[:, 0] = True  # padding rows: one token, committed to scratch
+        tables = np.zeros((rpad, self.pages_per_row), np.int32)
+        starts = np.zeros((rpad,), np.int32)
+        last_idx = np.zeros((rpad,), np.int32)
+        for g, (row, req, cached_len, _) in enumerate(items):
+            tail = req.prompt_ids[cached_len:]
+            ids[g, : len(tail)] = tail
+            mask[g, : len(tail)] = True
+            tables[g] = self.tables[row]
+            starts[g] = cached_len
+            last_idx[g] = len(tail) - 1
+
+        key = (bucket, rpad)
+        if key not in self._jit_prefill:
             engine = self
 
             def prefill_fn(
@@ -441,29 +475,34 @@ class ServingEngine:
                 )
                 return logits[:, 0], cache.kv_pages, cache.kv_scales
 
-            self._jit_prefill[bucket] = jax.jit(
+            self._jit_prefill[key] = jax.jit(
                 prefill_fn, donate_argnums=(1, 2)
             )
 
-        logits, self.pool, self.scales = self._jit_prefill[bucket](
+        logits, self.pool, self.scales = self._jit_prefill[key](
             self.params, self.pool, self.scales,
-            jnp.asarray(self.tables[row : row + 1], jnp.int32),
-            jnp.asarray(ids), jnp.asarray(mask),
-            jnp.asarray([tlen - 1], jnp.int32),
-            jnp.asarray([cached_len], jnp.int32),
+            jnp.asarray(tables), jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(last_idx), jnp.asarray(starts),
         )
         self._rng, srng = jax.random.split(self._rng)
-        tok = int(jax.device_get(self._sample(srng, logits))[0])
-        self.lengths[row] = plen
-        self.last_tokens[row] = tok
-        req.output_ids.append(tok)
-        if self.prefix_cache is not None:
-            # register the newly-written FULL prompt pages (immutable from
-            # here on: decode writes at positions >= plen, past them)
-            for i in range(cached_len // self.page_size, plen // self.page_size):
-                if self.prefix_cache.insert(keys[i], self.row_pages[row][i]):
-                    self.row_cached_keys[row].append(keys[i])
-        self._maybe_finish(row, req, tok)
+        toks = np.asarray(jax.device_get(self._sample(srng, logits)))
+        for g, (row, req, cached_len, keys) in enumerate(items):
+            plen = len(req.prompt_ids)
+            tok = int(toks[g])
+            self.lengths[row] = plen
+            self.last_tokens[row] = tok
+            req.output_ids.append(tok)
+            if self.prefix_cache is not None:
+                # register the newly-written FULL prompt pages (immutable
+                # from here on: decode writes at positions >= plen)
+                for i in range(
+                    cached_len // self.page_size, plen // self.page_size
+                ):
+                    if self.prefix_cache.insert(
+                        keys[i], self.row_pages[row][i]
+                    ):
+                        self.row_cached_keys[row].append(keys[i])
+            self._maybe_finish(row, req, tok)
 
     def _sample(self, rng, logits):
         from vats_tpu.inference.sampling import sample_logits
