@@ -50,12 +50,14 @@ def main():
     tier = os.environ.get(
         "BENCH_TRAIN_TIER", "medium_dense" if on_tpu else "toy"
     )
-    # medium_dense operating point (measured on one v5e): B=12 with the
-    # fused readout+CE and remat — 13.3k tok/s, MFU 0.29.  B=16 OOMs by
-    # 1.1 GB without scan_layers; with scan it fits but runs 17% slower
-    # (layer-boundary materialization), so B=12 loop-mode wins.
+    # medium_dense operating point (measured on one v5e): B=16 with the
+    # fused readout+CE, remat_policy='dots' (save matmul outputs, recompute
+    # only elementwise math in the bwd) and bf16 AdamW mu — 15.8k tok/s,
+    # MFU 0.345.  History: B=12/full/fp32-mu was 13.3k @ 0.291; 'dots'
+    # alone 14.8k @ 0.325; the bf16 mu frees 1.4 GB which is what lets
+    # B=16 fit without scan_layers (scan fits but runs 17% slower).
     batch = int(os.environ.get(
-        "BENCH_TRAIN_BATCH", "12" if tier == "medium_dense" else "16"
+        "BENCH_TRAIN_BATCH", "16" if tier == "medium_dense" else "16"
     ))
     seq_len = int(os.environ.get("BENCH_TRAIN_SEQ", "512"))
     experts = int(os.environ.get("BENCH_TRAIN_EXPERTS", "0"))
@@ -70,7 +72,7 @@ def main():
             gradient_checkpointing=remat, moe_dispatch=dispatch,
             capacity_factor=1.25, max_seq_len=seq_len,
             scan_layers=os.environ.get("BENCH_TRAIN_SCAN", "0") == "1",
-            remat_policy=os.environ.get("BENCH_TRAIN_REMAT_POLICY", "full"),
+            remat_policy=os.environ.get("BENCH_TRAIN_REMAT_POLICY", "dots"),
         )
     else:
         from tools.bench_shapes import BENCH_CFG
@@ -88,7 +90,8 @@ def main():
     fused_ce = int(os.environ.get("BENCH_TRAIN_FUSED_CE", "128"))
     targs = TrainingArgs(
         grad_accum_steps=1, fused_ce_chunk=fused_ce or None,
-        adam_mu_dtype=os.environ.get("BENCH_TRAIN_MU_DTYPE") or None,
+        adam_mu_dtype=os.environ.get("BENCH_TRAIN_MU_DTYPE", "bfloat16")
+        or None,
     )
     tx = create_optimizer(targs, 1000)
     state = create_train_state(
