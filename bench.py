@@ -6,26 +6,34 @@ the reference's medium model shapes (d1440 / 24 heads / 8 kv groups / 20
 layers / vocab 65536, /root/reference/configs/transformers/nlp/model_args/
 model_args_medium.py) with the E=8 top-2 MoE the north star benchmarks —
 4.19B params in bf16, the largest MoE tier that fits one v5e's 16 GB HBM
-with a serving KV cache.  B=128 is the operating point (fits since the
-sequence-minor KV layouts removed the 128-lane head-dim pad).
+with a serving KV cache.  B=128 is the operating point.
 
 The recorded serving path is ``generate_paged`` — ragged continuous-batching
 decode through the Pallas paged-KV decode kernel — with EXACT top-k
-sampling.  Secondary fields report the dense-cache path, greedy decode
-(isolating sampling cost), a flash-vs-XLA prefill kernel delta on the chip,
-the 3D-ViT forward metric (BASELINE metric #2), and the roofline position
-(HBM bandwidth utilization + MFU).
+sampling.  Secondary stages add the dense-cache path, greedy decode, int8
+weight/KV modes, 32k SWA ring decode, flash-kernel deltas (fwd AND bwd),
+the 3D-ViT metric, the continuous-batching serving engine, and training
+throughput (dense + MoE tiers).
+
+Driver-safety structure (round-3 post-mortem: rc=124, nothing recorded):
+  * a COMPLETE minimal JSON line is printed immediately after the headline
+    measurement; every later stage re-prints an enriched line (the driver
+    parses the LAST line, so partial progress is always recorded)
+  * a global wall-clock budget (env BENCH_BUDGET_S, default 1080 s) skips
+    remaining stages once exhausted — slow compiles degrade the record to
+    "fewer secondaries", never to null
+  * subprocess stages are capped at min(480 s, remaining budget) and their
+    partial stdout is parsed even on timeout.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
 reference implementation's own cached decode (torch) run on this host's CPU
 at identical shapes — calibrated via tools/calibrate_baseline_medium.py.
-
-Prints exactly one JSON line.
 """
 
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
@@ -39,10 +47,42 @@ N_ITERS = 3
 PEAK_FLOPS = 197e12
 PEAK_HBM_BPS = 819e9
 
-_CALIB_FILE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    "tools", "baseline_calibration_medium.json",
-)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CALIB_FILE = os.path.join(_HERE, "tools", "baseline_calibration_medium.json")
+
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+
+RESULTS = {
+    "metric": "moe_decode_tokens_per_sec_per_chip",
+    "value": None,
+    "unit": "tokens/s/chip",
+    "vs_baseline": None,
+    "secondary": {},
+}
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def emit() -> None:
+    """Print the full JSON record; the driver parses the LAST line printed,
+    so every stage boundary re-emits the current state."""
+    print(json.dumps(RESULTS), flush=True)
+
+
+def run_stage(name: str, fn, min_s: float = 45.0) -> None:
+    """Run one bench stage; record errors / budget skips instead of dying."""
+    if remaining() < min_s:
+        RESULTS.setdefault("skipped_stages", []).append(name)
+        emit()
+        return
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — a stage must never kill the record
+        RESULTS.setdefault("stage_errors", {})[name] = repr(e)[:200]
+    emit()
 
 
 def _decode_flops_per_token(cfg, avg_ctx):
@@ -58,7 +98,7 @@ def _decode_flops_per_token(cfg, avg_ctx):
 
 def _decode_bytes_per_step(cfg, n_params, batch, avg_ctx, param_bytes=2):
     """HBM traffic per decode step: full weight stream (all experts are hit
-    at B=64 x top-2) + KV cache read + KV append + logits."""
+    at this batch x top-2) + KV cache read + KV append + logits."""
     weights = n_params * param_bytes
     kv_read = batch * avg_ctx * cfg.num_layers * 2 * cfg.query_groups * cfg.head_dim * 2
     kv_write = batch * cfg.num_layers * 2 * cfg.query_groups * cfg.head_dim * 2
@@ -66,30 +106,58 @@ def _decode_bytes_per_step(cfg, n_params, batch, avg_ctx, param_bytes=2):
     return weights + kv_read + kv_write + logits
 
 
+def _sub_json(argv, env_extra, timeout_s):
+    """Run a subprocess bench and parse the LAST JSON line of its stdout —
+    including the partial stdout captured when the timeout fires."""
+    stdout = ""
+    try:
+        env = dict(os.environ, **env_extra)
+        out = subprocess.run(
+            argv, capture_output=True, text=True, timeout=timeout_s,
+            env=env, cwd=_HERE,
+        )
+        stdout = out.stdout or ""
+        if not any(ln.strip().startswith("{") for ln in stdout.splitlines()):
+            print(f"{argv[-1]}: no JSON (stderr tail: "
+                  f"{(out.stderr or '')[-300:]})", file=sys.stderr)
+    except subprocess.TimeoutExpired as e:
+        stdout = (
+            e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        )
+        print(f"{argv[-1]}: timeout after {timeout_s}s "
+              f"(parsing partial stdout)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"{argv[-1]} failed: {e}", file=sys.stderr)
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except Exception:  # noqa: BLE001
+                continue
+    return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    smoke_env = os.environ.get("BENCH_SMOKE", "") == "1"
+    smoke = os.environ.get("BENCH_SMOKE", "") == "1"
     # CPU smoke must not share the TPU relay's compile cache: CPU AOT entries
     # bake host machine features (SIGILL risk across hosts)
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".jax_cache_cpu" if smoke_env else ".jax_cache",
-    )
+    cache_dir = os.path.join(_HERE, ".jax_cache_cpu" if smoke else ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
+    except Exception:  # noqa: BLE001
         pass
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, _HERE)
     from vats_tpu.configs import nlp_medium
     from vats_tpu.inference.generate import generate, generate_paged
     from vats_tpu.models import TextLM
     from vats_tpu.nn.attention import select_attention_impl
 
-    smoke = os.environ.get("BENCH_SMOKE", "") == "1"
     if smoke:
         # the container's sitecustomize pins the TPU relay backend at
         # interpreter start; smoke mode runs tiny shapes on host CPU
@@ -134,26 +202,6 @@ def main():
         total_len=total_len,
     )
 
-    def run_paged(seed):
-        # serving path: Pallas paged-KV decode kernel, exact top-k sampling
-        return generate_paged(
-            model, params, prompt, None, jax.random.PRNGKey(seed),
-            do_sample=True, temperature=0.8, top_k=50,
-            page_size=PAGE_SIZE, **common,
-        )
-
-    def run_dense(seed):
-        return generate(
-            model, params, prompt, None, jax.random.PRNGKey(seed),
-            do_sample=True, temperature=0.8, top_k=50, **common,
-        )
-
-    def run_greedy(seed):
-        return generate(
-            model, params, prompt, None, jax.random.PRNGKey(seed),
-            do_sample=False, temperature=0.0, top_k=None, **common,
-        )
-
     def timed(fn):
         # warmup / compile (device_get, not block_until_ready: the axon
         # backend's block_until_ready can return before remote execution ends)
@@ -166,26 +214,92 @@ def main():
         dt = time.perf_counter() - t0
         return batch * decode_steps * N_ITERS / dt
 
-    paged_tps = timed(run_paged)
-    dense_tps = timed(run_dense)
-    greedy_tps = timed(run_greedy)
+    sec = RESULTS["secondary"]
 
-    def run_paged_int8kv(seed):
-        # int8 KV pages (bf16 weights): halves the per-step KV stream
+    # ---------------- stage: HEADLINE (paged bf16, exact top-k) ----------------
+    def run_paged(seed):
         return generate_paged(
             model, params, prompt, None, jax.random.PRNGKey(seed),
             do_sample=True, temperature=0.8, top_k=50,
-            page_size=PAGE_SIZE, kv_quant="int8", **common,
+            page_size=PAGE_SIZE, **common,
         )
 
-    int8kv_paged_tps = timed(run_paged_int8kv)
+    paged_tps = timed(run_paged)
 
-    # --- 32k-context SWA decode through the ring cache (reference xlarge
-    # tier's declared operating point: max_seq_len=32768, left_window<=1024)
-    # — measured as an n-step jitted decode loop at depth, like
-    # tools/probe_ctx_sweep.py ---
-    ctx32k_tps = None
-    if on_tpu and not smoke:
+    avg_ctx = prompt_len + decode_steps / 2
+    step_s = batch / paged_tps
+    flops_tok = _decode_flops_per_token(cfg, avg_ctx)
+    bytes_step = _decode_bytes_per_step(cfg, n_params, batch, avg_ctx)
+
+    baseline = None
+    calib = {}
+    if os.path.exists(_CALIB_FILE):
+        try:
+            with open(_CALIB_FILE) as f:
+                calib = json.load(f)
+        except Exception:  # noqa: BLE001
+            calib = {}
+    if not smoke:
+        baseline = calib.get("reference_cpu_decode_toks_per_sec")
+
+    RESULTS.update({
+        "value": round(paged_tps, 2),
+        "vs_baseline": (
+            round(paged_tps / baseline, 2) if baseline else None
+        ),
+        "config": (
+            ("CPU SMOKE (tiny shapes) — " if smoke else "")
+            + f"d{cfg.d_model}/{cfg.num_heads}h/{cfg.query_groups}g/"
+            f"{cfg.num_layers}L vocab{cfg.vocab_size} "
+            f"E{cfg.num_experts}top{cfg.top_k} "
+            f"({n_params / 1e9:.2f}B params bf16), B={batch}, "
+            f"prompt {prompt_len}, {decode_steps} decode steps, paged KV "
+            f"(Pallas decode kernel, page_size={PAGE_SIZE}), "
+            "exact top-k=50 sampling"
+        ),
+        "params_b": round(n_params / 1e9, 3),
+        "hbm_bw_utilization": round(bytes_step / step_s / PEAK_HBM_BPS, 3),
+        "model_flops_utilization": round(paged_tps * flops_tok / PEAK_FLOPS, 4),
+    })
+    emit()  # the record now exists whatever happens below
+
+    # ---------------- stage: dense cache + greedy ----------------
+    def stage_dense():
+        def run_dense(seed):
+            return generate(
+                model, params, prompt, None, jax.random.PRNGKey(seed),
+                do_sample=True, temperature=0.8, top_k=50, **common,
+            )
+
+        sec["dense_cache_exact_topk_toks_per_sec"] = round(timed(run_dense), 2)
+
+        def run_greedy(seed):
+            return generate(
+                model, params, prompt, None, jax.random.PRNGKey(seed),
+                do_sample=False, temperature=0.0, top_k=None, **common,
+            )
+
+        sec["dense_cache_greedy_toks_per_sec"] = round(timed(run_greedy), 2)
+
+    run_stage("dense", stage_dense)
+
+    # ---------------- stage: int8 KV pages (bf16 weights) ----------------
+    def stage_int8kv():
+        def run_paged_int8kv(seed):
+            return generate_paged(
+                model, params, prompt, None, jax.random.PRNGKey(seed),
+                do_sample=True, temperature=0.8, top_k=50,
+                page_size=PAGE_SIZE, kv_quant="int8", **common,
+            )
+
+        sec["int8kv_paged_toks_per_sec"] = round(timed(run_paged_int8kv), 2)
+
+    run_stage("int8kv", stage_int8kv)
+
+    # ---------------- stage: 32k-context SWA ring decode ----------------
+    def stage_ring32k():
+        if not on_tpu or smoke:
+            return
         from vats_tpu.nn.kv_cache import ring_slots_for_window
 
         ring_cfg = nlp_medium(
@@ -217,85 +331,95 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(ring_step(params)[0])
         ctx32k_tps = batch * n_ring_steps / (time.perf_counter() - t0)
+        sec["ctx32k_swa_ring_toks_per_sec"] = round(ctx32k_tps, 2)
 
-    # --- weight-only int8 serving mode (secondary; the headline stays the
-    # parity-faithful bf16 path) ---
-    from vats_tpu.inference.quantize import QuantizedModel, quantize_params
+    run_stage("ring32k", stage_ring32k)
 
+    # ---------------- stage: weight-only int8 serving modes ----------------
+    # (frees the bf16 tree: 8.4 GB + 4.2 GB don't co-fit on one v5e)
     import gc
 
-    qparams = quantize_params(params)
-    qmodel = QuantizedModel(model)
-    # free the bf16 tree before running (8.4 GB + 4.2 GB don't co-fit with
-    # the serving caches on one v5e)
+    state = {"params": params, "qparams": None, "qmodel": None}
     del params
-    gc.collect()
-    jax.clear_caches()
 
-    def run_paged_int8(seed):
-        return generate_paged(
-            qmodel, qparams, prompt, None, jax.random.PRNGKey(seed),
-            do_sample=True, temperature=0.8, top_k=50,
-            page_size=PAGE_SIZE, **common,
-        )
+    def stage_int8w():
+        from vats_tpu.inference.quantize import QuantizedModel, quantize_params
 
-    def run_dense_int8(seed):
-        return generate(
-            qmodel, qparams, prompt, None, jax.random.PRNGKey(seed),
-            do_sample=True, temperature=0.8, top_k=50, **common,
-        )
+        state["qparams"] = quantize_params(state["params"])
+        state["qmodel"] = QuantizedModel(model)
+        state["params"] = None
+        gc.collect()
+        jax.clear_caches()
+        qmodel, qparams = state["qmodel"], state["qparams"]
 
-    int8_paged_tps = timed(run_paged_int8)
-    int8_dense_tps = timed(run_dense_int8)
-
-    # --- int8 weights AND int8 KV pages (the minimum-HBM-traffic config);
-    # the freed bytes also double the servable batch: record B=2x ---
-    def run_paged_int8_wkv(seed):
-        return generate_paged(
-            qmodel, qparams, prompt, None, jax.random.PRNGKey(seed),
-            do_sample=True, temperature=0.8, top_k=50,
-            page_size=PAGE_SIZE, kv_quant="int8", **common,
-        )
-
-    int8_wkv_paged_tps = timed(run_paged_int8_wkv)
-
-    int8_wkv_b256_tps = None
-    if on_tpu and not smoke:
-        big_batch = 2 * batch
-        big_prompt = jax.random.randint(
-            jax.random.PRNGKey(7), (big_batch, prompt_len), 1, cfg.vocab_size
-        )
-
-        def run_b256(seed):
+        def run_paged_int8(seed):
             return generate_paged(
-                qmodel, qparams, big_prompt, None, jax.random.PRNGKey(seed),
+                qmodel, qparams, prompt, None, jax.random.PRNGKey(seed),
+                do_sample=True, temperature=0.8, top_k=50,
+                page_size=PAGE_SIZE, **common,
+            )
+
+        sec["int8_paged_toks_per_sec"] = round(timed(run_paged_int8), 2)
+        emit()
+
+        def run_dense_int8(seed):
+            return generate(
+                qmodel, qparams, prompt, None, jax.random.PRNGKey(seed),
+                do_sample=True, temperature=0.8, top_k=50, **common,
+            )
+
+        sec["int8_dense_toks_per_sec"] = round(timed(run_dense_int8), 2)
+
+        # int8 weights AND int8 KV pages: minimum-HBM-traffic config
+        def run_paged_int8_wkv(seed):
+            return generate_paged(
+                qmodel, qparams, prompt, None, jax.random.PRNGKey(seed),
                 do_sample=True, temperature=0.8, top_k=50,
                 page_size=PAGE_SIZE, kv_quant="int8", **common,
             )
 
-        try:
+        sec["int8_w_kv_paged_toks_per_sec"] = round(
+            timed(run_paged_int8_wkv), 2
+        )
+        emit()
+
+        # the freed bytes double the servable batch: B=2x
+        if on_tpu and not smoke and remaining() > 90:
+            big_batch = 2 * batch
+            big_prompt = jax.random.randint(
+                jax.random.PRNGKey(7), (big_batch, prompt_len), 1,
+                cfg.vocab_size,
+            )
+
+            def run_b256(seed):
+                return generate_paged(
+                    qmodel, qparams, big_prompt, None, jax.random.PRNGKey(seed),
+                    do_sample=True, temperature=0.8, top_k=50,
+                    page_size=PAGE_SIZE, kv_quant="int8", **common,
+                )
+
             out = run_b256(0)
             jax.device_get(out[0])
             t0 = time.perf_counter()
             for i in range(1, N_ITERS + 1):
                 out = run_b256(i)
                 jax.device_get(out[0])
-            int8_wkv_b256_tps = (
-                big_batch * decode_steps * N_ITERS / (time.perf_counter() - t0)
+            sec["int8_w_kv_paged_b256_toks_per_sec"] = round(
+                big_batch * decode_steps * N_ITERS / (time.perf_counter() - t0),
+                2,
             )
-        except Exception as e:  # OOM etc. — record the miss, keep the bench
-            print(f"B={big_batch} int8-W+KV serving failed: {e}",
-                  file=sys.stderr)
-        del big_prompt
 
-    # free the LM weights before the kernel/ViT stages (one v5e)
-    del qparams, prompt
+    run_stage("int8_weights", stage_int8w, min_s=120)
+
+    # free the LM weights before the kernel/ViT/subprocess stages (one v5e)
+    state.clear()
     gc.collect()
     jax.clear_caches()
 
-    # --- flash-vs-XLA prefill kernel delta on this chip ---
-    kernel_speedup = None
-    if on_tpu and not smoke:
+    # ---------------- stage: flash-vs-XLA kernel deltas (fwd + bwd) --------
+    def stage_kernels():
+        if not on_tpu or smoke:
+            return
         from vats_tpu.ops.attention_xla import dot_product_attention
         from vats_tpu.ops.flash_attention import flash_attention
 
@@ -306,157 +430,170 @@ def main():
         kv = jax.random.normal(jax.random.PRNGKey(4), (bk, sk, g, hd), jnp.bfloat16)
         scale = 1.0 / math.sqrt(hd)
 
-        f_flash = jax.jit(lambda q, k, v: flash_attention(
-            q, k, v, scale=scale, causal=True, left_window=cfg.left_window))
-        f_xla = jax.jit(lambda q, k, v: dot_product_attention(
-            q, k, v, scale=scale, causal=True, left_window=cfg.left_window))
-
-        def timed_op(f):
-            jax.device_get(f(kq, kk, kv))
+        def timed_op(f, *args, n=10):
+            jax.device_get(f(*args))
             t0 = time.perf_counter()
-            for _ in range(10):
-                out = f(kq, kk, kv)
+            for _ in range(n):
+                out = f(*args)
             jax.device_get(out)
-            return (time.perf_counter() - t0) / 10
+            return (time.perf_counter() - t0) / n
 
-        t_flash = timed_op(f_flash)
-        t_xla = timed_op(f_xla)
-        kernel_speedup = round(t_xla / t_flash, 2)
-
-    # --- 3D-ViT forward (BASELINE metric #2) ---
-    from vats_tpu.configs.vit3d import vit3d_xsmall
-    from vats_tpu.models.vit3d import VideoTransformer
-
-    vcfg = vit3d_xsmall(dropout=0.0, use_checkpointing=False)
-    if smoke:
-        vcfg = vit3d_xsmall(
-            dropout=0.0, use_checkpointing=False, d_model=48, num_heads=2,
-            num_layers=2, max_frames=4, target_size=(32, 32),
-        )
-    vmodel = VideoTransformer(vcfg)
-    th, tw = vcfg.target_size
-    vb = 2 if smoke else 4
-    vx = jax.random.normal(
-        jax.random.PRNGKey(5), (vb, vcfg.C_in, vcfg.max_frames, th, tw),
-        jnp.bfloat16,
-    )
-    vparams = vmodel.init(jax.random.PRNGKey(6), vx)
-    vparams = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16)
-        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-        vparams,
-    )
-    vfwd = jax.jit(lambda p, xx: vmodel.apply(p, xx))
-    jax.device_get(vfwd(vparams, vx))
-    n_vit = 2 if smoke else 10
-    t0 = time.perf_counter()
-    for _ in range(n_vit):
-        vout = vfwd(vparams, vx)
-    jax.device_get(vout)
-    vit3d_fps = vb * vcfg.max_frames * n_vit / (time.perf_counter() - t0)
-
-    # --- training MFU and ViT-3D-large tiers, in SUBPROCESSES: each needs
-    # ~all of HBM to itself (0.88B train state / 1.3B ViT activations) and
-    # must not co-reside with this process's live buffers ---
-    import subprocess
-
-    def _sub_json(argv, env_extra, timeout_s=2400):
-        try:
-            env = dict(os.environ, **env_extra)
-            out = subprocess.run(
-                argv, capture_output=True, text=True, timeout=timeout_s,
-                env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        def speedup(window):
+            f_flash = jax.jit(lambda q, k, v: flash_attention(
+                q, k, v, scale=scale, causal=True, left_window=window))
+            f_xla = jax.jit(lambda q, k, v: dot_product_attention(
+                q, k, v, scale=scale, causal=True, left_window=window))
+            return round(
+                timed_op(f_xla, kq, kk, kv) / timed_op(f_flash, kq, kk, kv), 2
             )
-            for line in reversed(out.stdout.strip().splitlines()):
-                line = line.strip()
-                if line.startswith("{"):
-                    return json.loads(line)
-            print(f"{argv[-1]}: no JSON (stderr tail: "
-                  f"{out.stderr[-300:]})", file=sys.stderr)
-        except Exception as e:
-            print(f"{argv[-1]} failed: {e}", file=sys.stderr)
-        return None
 
-    train_metrics = None
-    vit3d_large = None
-    if on_tpu and not smoke:
-        tdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        RESULTS["flash_vs_xla_prefill_speedup"] = speedup(-1)
+        sec["flash_vs_xla_swa1024_speedup"] = speedup(1024)
+        emit()
+
+        # fwd+bwd at a training shape (the custom VJP path)
+        def train_loss(attn_fn):
+            def f(q, k, v):
+                return jnp.sum(attn_fn(q, k, v).astype(jnp.float32))
+            return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+
+        g_flash = train_loss(lambda q, k, v: flash_attention(
+            q, k, v, scale=scale, causal=True, left_window=-1))
+        g_xla = train_loss(lambda q, k, v: dot_product_attention(
+            q, k, v, scale=scale, causal=True, left_window=-1))
+        sec["flash_vs_xla_fwdbwd_speedup"] = round(
+            timed_op(g_xla, kq, kk, kv, n=5)
+            / timed_op(g_flash, kq, kk, kv, n=5), 2
+        )
+
+    run_stage("kernels", stage_kernels, min_s=90)
+
+    # ---------------- stage: 3D-ViT xsmall forward (BASELINE metric #2) ----
+    def stage_vit3d():
+        from vats_tpu.configs.vit3d import vit3d_xsmall
+        from vats_tpu.models.vit3d import VideoTransformer
+
+        vcfg = vit3d_xsmall(dropout=0.0, use_checkpointing=False)
+        if smoke:
+            vcfg = vit3d_xsmall(
+                dropout=0.0, use_checkpointing=False, d_model=48, num_heads=2,
+                num_layers=2, max_frames=4, target_size=(32, 32),
+            )
+        vmodel = VideoTransformer(vcfg)
+        th, tw = vcfg.target_size
+        vb = 2 if smoke else 4
+        vx = jax.random.normal(
+            jax.random.PRNGKey(5), (vb, vcfg.C_in, vcfg.max_frames, th, tw),
+            jnp.bfloat16,
+        )
+        vparams = vmodel.init(jax.random.PRNGKey(6), vx)
+        vparams = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            vparams,
+        )
+        vfwd = jax.jit(lambda p, xx: vmodel.apply(p, xx))
+        jax.device_get(vfwd(vparams, vx))
+        n_vit = 2 if smoke else 10
+        t0 = time.perf_counter()
+        for _ in range(n_vit):
+            vout = vfwd(vparams, vx)
+        jax.device_get(vout)
+        fps = vb * vcfg.max_frames * n_vit / (time.perf_counter() - t0)
+        RESULTS["vit3d_frames_per_sec"] = round(fps, 1)
+        ref_fps = calib.get("reference_cpu_vit3d_xsmall_frames_per_sec")
+        if ref_fps and not smoke:
+            RESULTS["vit3d_vs_baseline"] = round(fps / ref_fps, 2)
+
+    run_stage("vit3d_xsmall", stage_vit3d, min_s=60)
+
+    # ---------------- subprocess stages (each needs ~all of HBM) ----------
+    def sub_timeout():
+        return max(60, min(480, remaining() - 30))
+
+    def stage_serving():
+        if not on_tpu or smoke:
+            return
+        sj = _sub_json(
+            [sys.executable, os.path.join(_HERE, "tools", "bench_serving.py")],
+            {"BENCH_SERVING_BUDGET_S": str(int(sub_timeout() - 20))},
+            timeout_s=sub_timeout(),
+        )
+        if sj:
+            sec["serving_engine"] = sj
+
+    run_stage("serving_engine", stage_serving, min_s=180)
+
+    def stage_train():
+        if not on_tpu or smoke:
+            return
         tj = _sub_json(
-            [sys.executable, os.path.join(tdir, "bench_train.py")],
+            [sys.executable, os.path.join(_HERE, "tools", "bench_train.py")],
             {"BENCH_TRAIN_TIER": "medium_dense"},
+            timeout_s=sub_timeout(),
         )
         if tj:
-            train_metrics = {
+            sec["train"] = {
                 "tokens_per_sec": tj.get("value"),
                 "mfu": tj.get("train_mfu"),
                 "config": tj.get("config"),
             }
+
+    run_stage("train_dense", stage_train, min_s=150)
+
+    def stage_train_moe():
+        if not on_tpu or smoke:
+            return
+        tj = _sub_json(
+            [sys.executable, os.path.join(_HERE, "tools", "bench_train.py")],
+            {"BENCH_TRAIN_TIER": "medium_moe"},
+            timeout_s=sub_timeout(),
+        )
+        if tj:
+            sec["train_moe"] = {
+                "tokens_per_sec": tj.get("value"),
+                "mfu": tj.get("train_mfu"),
+                "config": tj.get("config"),
+            }
+
+    run_stage("train_moe", stage_train_moe, min_s=150)
+
+    def stage_vit3d_large():
+        if not on_tpu or smoke:
+            return
         vj = _sub_json(
-            [sys.executable, os.path.join(tdir, "bench_vit3d.py")],
+            [sys.executable, os.path.join(_HERE, "tools", "bench_vit3d.py")],
             {"BENCH_VIT3D_TIERS": "large"},
+            timeout_s=sub_timeout(),
         )
         if vj:
-            vit3d_large = {
+            entry = {
                 "frames_per_sec": vj.get("value"),
                 "config": vj.get("config"),
             }
+            ref_fps = calib.get("reference_cpu_vit3d_large_frames_per_sec")
+            if ref_fps and vj.get("value"):
+                entry["vs_baseline"] = round(vj["value"] / ref_fps, 2)
+            sec["vit3d_large"] = entry
 
-    # --- roofline position of the headline number ---
-    avg_ctx = prompt_len + decode_steps / 2
-    step_s = batch / paged_tps
-    flops_tok = _decode_flops_per_token(cfg, avg_ctx)
-    mfu = paged_tps * flops_tok / PEAK_FLOPS
-    bytes_step = _decode_bytes_per_step(cfg, n_params, batch, avg_ctx)
-    hbm_util = bytes_step / step_s / PEAK_HBM_BPS
+    run_stage("vit3d_large", stage_vit3d_large, min_s=120)
 
-    baseline = None
-    if smoke:
-        pass  # tiny smoke shapes are incomparable to the medium calibration
-    elif os.path.exists(_CALIB_FILE):
-        try:
-            with open(_CALIB_FILE) as f:
-                baseline = json.load(f).get("reference_cpu_decode_toks_per_sec")
-        except Exception:
-            baseline = None
-    vs_baseline = (paged_tps / baseline) if baseline else None
+    def stage_int8_quality():
+        if not on_tpu or smoke:
+            return
+        qj = _sub_json(
+            [sys.executable,
+             os.path.join(_HERE, "tools", "bench_int8_quality.py")],
+            {},
+            timeout_s=sub_timeout(),
+        )
+        if qj:
+            sec["int8_quality"] = qj
 
-    print(json.dumps({
-        "metric": "moe_decode_tokens_per_sec_per_chip",
-        "value": round(paged_tps, 2),
-        "unit": "tokens/s/chip",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "config": (
-            ("CPU SMOKE (tiny shapes) — " if smoke else "")
-            + f"d{cfg.d_model}/{cfg.num_heads}h/{cfg.query_groups}g/"
-            f"{cfg.num_layers}L vocab{cfg.vocab_size} "
-            f"E{cfg.num_experts}top{cfg.top_k} "
-            f"({n_params / 1e9:.2f}B params bf16), B={batch}, "
-            f"prompt {prompt_len}, {decode_steps} decode steps, paged KV "
-            f"(Pallas decode kernel, page_size={PAGE_SIZE}), "
-            "exact top-k=50 sampling"
-        ),
-        "params_b": round(n_params / 1e9, 3),
-        "hbm_bw_utilization": round(hbm_util, 3),
-        "model_flops_utilization": round(mfu, 4),
-        "vit3d_frames_per_sec": round(vit3d_fps, 1),
-        "flash_vs_xla_prefill_speedup": kernel_speedup,
-        "secondary": {
-            "dense_cache_exact_topk_toks_per_sec": round(dense_tps, 2),
-            "dense_cache_greedy_toks_per_sec": round(greedy_tps, 2),
-            "int8_paged_toks_per_sec": round(int8_paged_tps, 2),
-            "int8_dense_toks_per_sec": round(int8_dense_tps, 2),
-            "int8kv_paged_toks_per_sec": round(int8kv_paged_tps, 2),
-            "int8_w_kv_paged_toks_per_sec": round(int8_wkv_paged_tps, 2),
-            "int8_w_kv_paged_b256_toks_per_sec": (
-                round(int8_wkv_b256_tps, 2) if int8_wkv_b256_tps else None
-            ),
-            "ctx32k_swa_ring_toks_per_sec": (
-                round(ctx32k_tps, 2) if ctx32k_tps else None
-            ),
-            "train": train_metrics,
-            "vit3d_large": vit3d_large,
-        },
-    }))
+    run_stage("int8_quality", stage_int8_quality, min_s=120)
+
+    RESULTS["bench_wall_s"] = round(time.monotonic() - T0, 1)
+    emit()
 
 
 if __name__ == "__main__":

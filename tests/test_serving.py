@@ -327,3 +327,52 @@ def test_batched_admission_group_parity():
     for rid, p in zip(rids, prompts):
         assert out[rid] == _oracle(model, params, p, 6)
     assert eng.allocator.num_used == 0
+
+
+def test_prefix_reclaim_never_evicts_matched_pages():
+    """Regression (round-3 advisor, high): _admit must pin the looked-up
+    prefix pages BEFORE reclaiming under memory pressure.  The unfixed code
+    ran _reclaim() between lookup() and acquire(), so the refcount-0 matched
+    pages (parked in LRU) could be evicted and re-allocated as the same
+    row's tail pages — page aliasing that corrupts the shared prefix KV."""
+    model, params = _model_and_params()
+    eng = ServingEngine(
+        model, params, max_batch=1, max_context=512, prefix_caching=True,
+        total_pages=1 + 4,  # scratch + 4-page pool, sized to force reclaim
+    )
+    ra = eng.submit(SYSTEM_PROMPT, max_new_tokens=5)
+    out_a = eng.run()[ra]
+    assert out_a == _oracle(model, params, SYSTEM_PROMPT, 5, 512)
+    assert eng.prefix_cache.num_cached == 2  # both full pages parked
+    decoy = [(7 * i) % 120 + 1 for i in range(130)]  # 1 cacheable page
+    rd = eng.submit(decoy, max_new_tokens=4)
+    assert eng.run()[rd] == _oracle(model, params, decoy, 4, 512)
+    assert eng.prefix_cache.num_cached == 3
+    assert eng.allocator.num_free == 1
+    # B: matches BOTH system-prompt pages, needs 2 more with only 1 free —
+    # reclaim must evict the decoy's idle page, never the matched ones
+    tail = [(5 * i) % 120 + 1 for i in range(90)]
+    pb = SYSTEM_PROMPT + tail  # 390 tokens -> 4 page slots, 2 cached
+    rb = eng.submit(pb, max_new_tokens=5)
+    out_b = eng.run()[rb]
+    assert eng.prefix_cache.hit_tokens == 256, "prefix hit expected"
+    assert out_b == _oracle(model, params, pb, 5, 512)
+    # pool accounting stayed coherent: every allocated page is cache-owned
+    assert eng.allocator.num_used == eng.prefix_cache.num_cached
+
+
+def test_decode_block_spanning_multiple_new_pages():
+    """Regression (round-3 advisor, medium): when one _ensure_pages call
+    allocates 2+ pages (decode_block_steps > page_size), EACH new page must
+    get its own page-table slot — the unfixed code wrote every page to the
+    final slot, leaving intermediate slots on the scratch page."""
+    model, params = _model_and_params()
+    eng = ServingEngine(
+        model, params, max_batch=1, max_context=512,
+        decode_block_steps=260,  # lookahead spans 2 fresh 128-token pages
+    )
+    prompt = PROMPTS[2]
+    rid = eng.submit(prompt, max_new_tokens=260)
+    out = eng.run()[rid]
+    assert out == _oracle(model, params, prompt, 260, 512)
+    assert eng.allocator.num_used == 0

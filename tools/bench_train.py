@@ -10,6 +10,12 @@ reference-tier model that trains on one v5e's 16 GB HBM:
     with a dense FFN — ~0.88 B params.  fp32 AdamW state is 12 B/param; the
     full E=8 bench tier (4.19 B) cannot hold params+optimizer on one chip
     (training it is the multi-chip FSDP/EP path, tests/test_multichip.py).
+  * tier 'medium_moe': the flagship MoE *training* workload (the reference
+    trains E=32 top-2 at the large tier,
+    /root/reference/training/transformers/nlp/loops/training_loop.py:24-207 +
+    model_args_large.py) scaled to the largest expert count whose AdamW
+    state fits one v5e chip: d768 / 12L / E=8 top-2 / vocab 65536
+    (~0.76 B params; fp32 params+nu and bf16 mu is ~10.6 GB of state).
   * tier 'toy': round-1's d512/8L shapes (kept for CPU smoke / history).
 
 MFU counts fwd+bwd matmul FLOPs (6 * P_active per token) plus the attention
@@ -72,6 +78,15 @@ def main():
             gradient_checkpointing=remat, moe_dispatch=dispatch,
             capacity_factor=1.25, max_seq_len=seq_len,
             scan_layers=os.environ.get("BENCH_TRAIN_SCAN", "0") == "1",
+            remat_policy=os.environ.get("BENCH_TRAIN_REMAT_POLICY", "dots"),
+        )
+    elif tier == "medium_moe":
+        cfg = nlp_medium(
+            d_model=768, num_heads=12, query_groups=4, d_ffn=3072,
+            num_layers=12, dropout=dropout, left_window=-1, use_mqa=False,
+            num_experts=experts or 8, top_k=2,
+            gradient_checkpointing=remat, moe_dispatch=dispatch,
+            capacity_factor=1.25, max_seq_len=seq_len,
             remat_policy=os.environ.get("BENCH_TRAIN_REMAT_POLICY", "dots"),
         )
     else:

@@ -348,17 +348,6 @@ class ServingEngine:
 
     # ---------------- internals ----------------
 
-    def _cache_view(self, tables: np.ndarray, lengths: np.ndarray):
-        from vats_tpu.ops.decode_attention import PagedKVCache
-
-        return PagedKVCache(
-            kv_pages=self.pool,
-            page_table=jnp.asarray(tables, jnp.int32),
-            lengths=jnp.asarray(lengths, jnp.int32),
-            kv_scales=self.scales,
-            head_dim=self.cfg.head_dim,
-        )
-
     def _bucket(self, n: int) -> int:
         for b in self.prompt_buckets:
             if n <= b:
@@ -396,15 +385,22 @@ class ServingEngine:
                     len(cached_pages) * self.page_size
                 )
             cached_slots = len(cached_pages)
+            cached_keys = keys[:cached_slots]
+            # Pin the matched pages BEFORE any reclaim: refcount-0 prefix
+            # pages park in the LRU, and _reclaim below could otherwise
+            # evict exactly the pages this lookup returned — the row would
+            # then map stale physical ids (page aliasing / double-free
+            # under memory pressure).
+            if cached_keys:
+                self.prefix_cache.acquire(cached_keys)
             need = total_slots - cached_slots
             if need > self.allocator.num_free:
                 self._reclaim(need - self.allocator.num_free)
             if need > self.allocator.num_free:
+                if cached_keys:
+                    self.prefix_cache.release(cached_keys)
                 break  # head-of-line waits for pages to free
             self.queue.pop(0)
-            cached_keys = keys[:cached_slots]
-            if cached_keys:
-                self.prefix_cache.acquire(cached_keys)
             pages = cached_pages + self.allocator.alloc(need)
             self.row_pages[row] = pages
             self.tables[row, :] = 0
@@ -527,7 +523,10 @@ class ServingEngine:
                 if self.allocator.num_free > 0:
                     page = self.allocator.alloc(1)[0]
                     self.row_pages[row].append(page)
-                    self.tables[row, slot] = page
+                    # map the slot actually being filled — when the loop
+                    # allocates 2+ pages (lookahead > page_size) each new
+                    # page gets its own table entry, not the final slot
+                    self.tables[row, len(self.row_pages[row]) - 1] = page
                     continue
                 victim = self._pick_victim(exclude=row)
                 if victim is None:

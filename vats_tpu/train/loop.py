@@ -60,8 +60,14 @@ def make_train_step_fn(
                     readout = readout.unbox()
                 if not cfg.tie_weights:
                     readout = readout.T  # -> [V, d]
+                # match the classic path's numerics: the readout matmul
+                # runs in the model's activation dtype (bf16 tiers stay
+                # bf16; a full-fp32 config must not silently drop to bf16)
+                from vats_tpu.models.text_lm import resolve_dtype
+
                 lm = fused_linear_cross_entropy(
                     hidden, readout, batch["labels"], chunk=fused_chunk,
+                    compute_dtype=resolve_dtype(cfg.dtype),
                 )
                 aux = (
                     aux if aux is not None else jnp.zeros((), jnp.float32)
