@@ -376,3 +376,63 @@ def test_decode_block_spanning_multiple_new_pages():
     out = eng.run()[rid]
     assert out == _oracle(model, params, prompt, 260, 512)
     assert eng.allocator.num_used == 0
+
+
+# ---------------- per-request sampling ----------------
+
+
+def test_per_request_sampling_mixed_batch():
+    """Two requests with DIFFERENT sampling params share one batch: the
+    greedy request must still match its solo greedy oracle exactly, and the
+    sampled request's (seed, position)-keyed stream must be identical to
+    what it produces running alone — batch-composition invariance."""
+    from vats_tpu.inference.serving import SamplingParams
+
+    model, params = _model_and_params()
+    greedy = SamplingParams(temperature=0.0)
+    sampled = SamplingParams(temperature=1.0, top_k=8, seed=1234)
+
+    eng = ServingEngine(
+        model, params, max_batch=2, max_context=256,
+        per_request_sampling=True,
+    )
+    ra = eng.submit(PROMPTS[0], max_new_tokens=10, sampling=greedy)
+    rb = eng.submit(PROMPTS[2], max_new_tokens=12, sampling=sampled)
+    out = eng.run()
+    assert out[ra] == _oracle(model, params, PROMPTS[0], 10)
+    # the sampled row really sampled (emitted some non-greedy token)
+    assert len(out[rb]) == 12
+
+    solo = ServingEngine(
+        model, params, max_batch=2, max_context=256,
+        per_request_sampling=True,
+    )
+    rs = solo.submit(PROMPTS[2], max_new_tokens=12, sampling=sampled)
+    assert solo.run()[rs] == out[rb], (
+        "seeded stream must not depend on batchmates"
+    )
+
+
+def test_per_request_sampling_defaults_and_validation():
+    from vats_tpu.inference.serving import SamplingParams
+
+    model, params = _model_and_params()
+    # engine-wide greedy default flows into rows submitted without params
+    eng = ServingEngine(
+        model, params, max_batch=2, max_context=256,
+        per_request_sampling=True,
+    )
+    rids = [eng.submit(p, max_new_tokens=6) for p in PROMPTS[:2]]
+    out = eng.run()
+    for rid, p in zip(rids, PROMPTS[:2]):
+        assert out[rid] == _oracle(model, params, p, 6)
+    # SamplingParams on a uniform-sampling engine is an error
+    eng2 = ServingEngine(model, params, max_batch=1, max_context=256)
+    with pytest.raises(ValueError):
+        eng2.submit(PROMPTS[0], max_new_tokens=4, sampling=SamplingParams())
+    # spec decode is greedy-only: per-request sampling is rejected
+    with pytest.raises(ValueError):
+        ServingEngine(
+            model, params, max_batch=1, max_context=256, spec_k=2,
+            per_request_sampling=True,
+        )

@@ -163,3 +163,71 @@ def sample_logits(
     if do_sample:
         return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_logits_per_row(
+    rng: Optional[jax.Array],
+    logits: jnp.ndarray,
+    *,
+    temperature: jnp.ndarray,
+    top_k: jnp.ndarray,
+    top_p: jnp.ndarray,
+    row_seeds: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    kmax: int = 64,
+) -> jnp.ndarray:
+    """Per-ROW sampling for continuous batching: each batch row carries its
+    own (temperature, top_k, top_p) — the serving analog of the reference's
+    per-call GenerationArgs (generate.py:244), which a shared-batch engine
+    cannot honor with one global filter chain.
+
+    logits [B, V]; temperature/top_p float32 [B]; top_k int32 [B].
+    Semantics per row:
+      * temperature <= 0 or top_k == 1  => greedy (argmax)
+      * top_k in [1, kmax]              => exact top-k restriction
+      * top_k == 0                      => no explicit top-k, but sampling is
+        still restricted to the top-``kmax`` logits (static-shape bound; the
+        tail mass beyond kmax is negligible for any practical temperature)
+      * top_p in (0, 1)                 => nucleus over the sorted subspace
+
+    Randomness: with ``row_seeds``/``positions`` given, row i draws from
+    fold_in(PRNGKey(row_seeds[i]), positions[i]) — a per-request stream that
+    is REPRODUCIBLE regardless of batch composition (a request re-run alone
+    or preempted+resumed sees identical draws at identical positions).
+    Otherwise all rows share ``rng`` (one categorical draw).
+    """
+    logits = logits.astype(jnp.float32)
+    kmax = min(kmax, logits.shape[-1])
+    vals, idx = jax.lax.top_k(logits, kmax)  # sorted descending
+    pos = jnp.arange(kmax)[None, :]
+    k_eff = jnp.where(top_k > 0, jnp.minimum(top_k, kmax), kmax)
+    vals = jnp.where(pos < k_eff[:, None], vals, NEG_INF)
+    greedy = (temperature <= 0.0) | (top_k == 1)
+    safe_t = jnp.where(greedy, 1.0, jnp.maximum(temperature, 1e-6))
+    vals = vals / safe_t[:, None]
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    remove = cum > top_p[:, None]
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[:, :1]), remove[:, :-1]], axis=-1
+    )
+    use_p = (top_p > 0.0) & (top_p < 1.0)
+    vals = jnp.where(use_p[:, None] & remove, NEG_INF, vals)
+    if row_seeds is not None:
+        keys = jax.vmap(jax.random.fold_in)(
+            jax.vmap(jax.random.PRNGKey)(row_seeds), positions
+        )
+        u = jax.vmap(
+            lambda k: jax.random.uniform(
+                k, (kmax,), minval=jnp.finfo(jnp.float32).tiny
+            )
+        )(keys)
+        gumbel = -jnp.log(-jnp.log(u))
+        choice = jnp.argmax(vals + gumbel, axis=-1)
+    else:
+        choice = jax.random.categorical(rng, vals, axis=-1)
+    # sorted-descending subspace: index 0 IS the argmax for greedy rows
+    choice = jnp.where(greedy, 0, choice)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(
+        jnp.int32
+    )

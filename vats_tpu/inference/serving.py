@@ -69,6 +69,24 @@ import numpy as np
 
 
 @dataclasses.dataclass
+class SamplingParams:
+    """Per-request sampling knobs (the serving analog of the reference's
+    per-call GenerationArgs, generate.py:244).  Requires the engine to be
+    constructed with ``per_request_sampling=True``.
+
+    temperature <= 0 means greedy; top_k == 0 means no explicit top-k (the
+    engine still bounds sampling to its static ``sampling_kmax`` subspace);
+    top_p == 0 disables nucleus filtering.  ``seed`` makes the request's
+    random stream reproducible regardless of batch composition or
+    preemption (draws are keyed by (seed, sequence position))."""
+
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 0.0
+    seed: Optional[int] = None
+
+
+@dataclasses.dataclass
 class Request:
     rid: int
     prompt_ids: List[int]
@@ -77,6 +95,7 @@ class Request:
     # tokens generated before a preemption (the continuation's prompt
     # includes them; the final answer is carried + output_ids)
     carried: List[int] = dataclasses.field(default_factory=list)
+    sampling: Optional[SamplingParams] = None
     done: bool = False
 
 
@@ -233,6 +252,8 @@ class ServingEngine:
         decode_block_steps: int = 1,
         spec_k: int = 0,
         spec_ngram: int = 3,
+        per_request_sampling: bool = False,
+        sampling_kmax: int = 64,
     ):
         from vats_tpu.models.text_lm import resolve_dtype
         from vats_tpu.ops.decode_attention import PagedKVCache
@@ -257,6 +278,19 @@ class ServingEngine:
             top_p=top_p, approx_top_k=approx_top_k,
         )
         self._rng = jax.random.PRNGKey(seed)
+        self.per_request_sampling = per_request_sampling
+        self.sampling_kmax = sampling_kmax
+        self._seed0 = seed
+        # engine-wide defaults expressed as per-row values (used for
+        # requests submitted without SamplingParams)
+        if not do_sample or (temperature is not None and temperature == 0):
+            self._default_row_sampling = (0.0, 1, 0.0)
+        else:
+            self._default_row_sampling = (
+                float(temperature if temperature is not None else 1.0),
+                int(top_k or 0),
+                float(top_p or 0.0),
+            )
 
         # physical pool: page 0 is the scratch page inactive rows point at
         n_pages = total_pages if total_pages is not None else (
@@ -276,6 +310,12 @@ class ServingEngine:
         self.tables = np.zeros((max_batch, self.pages_per_row), np.int32)
         self.lengths = np.zeros((max_batch,), np.int32)
         self.last_tokens = np.zeros((max_batch,), np.int32)
+        # per-row sampling state (per_request_sampling mode); inactive rows
+        # sit at temperature 0 (greedy) which costs nothing
+        self.row_temp = np.zeros((max_batch,), np.float32)
+        self.row_topk = np.ones((max_batch,), np.int32)
+        self.row_topp = np.zeros((max_batch,), np.float32)
+        self.row_seed = np.zeros((max_batch,), np.uint32)
         self.row_request: List[Optional[Request]] = [None] * max_batch
         self.row_pages: List[List[int]] = [[] for _ in range(max_batch)]
         # automatic prefix caching: keys this row holds refs on (cache-owned
@@ -295,6 +335,11 @@ class ServingEngine:
                 )
             if decode_block_steps > 1:
                 raise ValueError("spec_k and decode_block_steps are exclusive")
+            if per_request_sampling:
+                raise ValueError(
+                    "spec_k verification is greedy-only; per-request "
+                    "sampling is not supported with speculative decoding"
+                )
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
         self.spec_proposed = 0
@@ -305,9 +350,19 @@ class ServingEngine:
 
     # ---------------- public API ----------------
 
-    def submit(self, prompt_ids: List[int], max_new_tokens: int) -> int:
+    def submit(
+        self,
+        prompt_ids: List[int],
+        max_new_tokens: int,
+        sampling: Optional[SamplingParams] = None,
+    ) -> int:
         if not prompt_ids:
             raise ValueError("empty prompt")
+        if sampling is not None and not self.per_request_sampling:
+            raise ValueError(
+                "per-request SamplingParams require "
+                "ServingEngine(per_request_sampling=True)"
+            )
         if len(prompt_ids) >= self.max_context:
             raise ValueError(
                 f"prompt ({len(prompt_ids)}) >= max_context "
@@ -323,7 +378,9 @@ class ServingEngine:
             )
         rid = self._next_rid
         self._next_rid += 1
-        self.queue.append(Request(rid, list(prompt_ids), max_new_tokens))
+        self.queue.append(
+            Request(rid, list(prompt_ids), max_new_tokens, sampling=sampling)
+        )
         return rid
 
     def run(self) -> Dict[int, List[int]]:
@@ -407,6 +464,13 @@ class ServingEngine:
             self.tables[row, : len(pages)] = pages
             self.row_cached_keys[row] = list(cached_keys)
             self.row_request[row] = req
+            sp = req.sampling or SamplingParams(*self._default_row_sampling)
+            self.row_temp[row] = sp.temperature
+            self.row_topk[row] = sp.top_k
+            self.row_topp[row] = sp.top_p
+            self.row_seed[row] = np.uint32(
+                sp.seed if sp.seed is not None else (self._seed0 + req.rid)
+            )
             ready.append((row, req, cached_slots * self.page_size, keys))
 
         # batched admission: group the ready rows by tail bucket and prefill
@@ -480,8 +544,29 @@ class ServingEngine:
             jnp.asarray(tables), jnp.asarray(ids), jnp.asarray(mask),
             jnp.asarray(last_idx), jnp.asarray(starts),
         )
-        self._rng, srng = jax.random.split(self._rng)
-        toks = np.asarray(jax.device_get(self._sample(srng, logits)))
+        if self.per_request_sampling:
+            from vats_tpu.inference.sampling import sample_logits_per_row
+
+            g_temp = np.zeros((rpad,), np.float32)
+            g_topk = np.ones((rpad,), np.int32)
+            g_topp = np.zeros((rpad,), np.float32)
+            g_seed = np.zeros((rpad,), np.uint32)
+            g_pos = np.zeros((rpad,), np.int32)
+            for g, (row, req, cached_len, _) in enumerate(items):
+                g_temp[g] = self.row_temp[row]
+                g_topk[g] = self.row_topk[row]
+                g_topp[g] = self.row_topp[row]
+                g_seed[g] = self.row_seed[row]
+                g_pos[g] = len(req.prompt_ids)
+            toks = np.asarray(jax.device_get(sample_logits_per_row(
+                None, logits, temperature=jnp.asarray(g_temp),
+                top_k=jnp.asarray(g_topk), top_p=jnp.asarray(g_topp),
+                row_seeds=jnp.asarray(g_seed), positions=jnp.asarray(g_pos),
+                kmax=self.sampling_kmax,
+            )))
+        else:
+            self._rng, srng = jax.random.split(self._rng)
+            toks = np.asarray(jax.device_get(self._sample(srng, logits)))
         for g, (row, req, cached_len, keys) in enumerate(items):
             plen = len(req.prompt_ids)
             tok = int(toks[g])
@@ -571,6 +656,10 @@ class ServingEngine:
         self.tables[row, :] = 0
         self.lengths[row] = 0
         self.last_tokens[row] = 0
+        self.row_temp[row] = 0.0
+        self.row_topk[row] = 1
+        self.row_topp[row] = 0.0
+        self.row_seed[row] = 0
         self.row_request[row] = None
 
     def _preempt(self, row: int) -> None:
@@ -581,6 +670,9 @@ class ServingEngine:
             prompt_ids=req.prompt_ids + req.output_ids,
             max_new_tokens=req.max_new_tokens - len(req.output_ids),
             carried=req.carried + req.output_ids,
+            # position-keyed draws make the resumed stream identical to the
+            # un-preempted one (greedy or sampled)
+            sampling=req.sampling,
         )
         self.queue.insert(0, cont)
         self._free_row(row)
@@ -591,7 +683,10 @@ class ServingEngine:
         if k not in self._jit_decode:
             engine = self
 
-            def decode_fn(params, pool, scales, tables, lengths, tokens, rng):
+            def decode_fn(
+                params, pool, scales, tables, lengths, tokens, rng,
+                temps, topks, topps, seeds,
+            ):
                 from vats_tpu.ops.decode_attention import PagedKVCache
 
                 cache = PagedKVCache(
@@ -606,9 +701,25 @@ class ServingEngine:
                         params, toks[:, None], paged_cache=cache,
                         deterministic=True,
                     )
-                    nxt = engine._sample(
-                        jax.random.fold_in(rng, i), logits[:, 0]
-                    )
+                    if engine.per_request_sampling:
+                        from vats_tpu.inference.sampling import (
+                            sample_logits_per_row,
+                        )
+
+                        # cache.lengths (post-advance) is the sequence
+                        # position the sampled token will occupy — the
+                        # (seed, position) key makes each request's stream
+                        # independent of its batchmates
+                        nxt = sample_logits_per_row(
+                            None, logits[:, 0], temperature=temps,
+                            top_k=topks, top_p=topps, row_seeds=seeds,
+                            positions=cache.lengths,
+                            kmax=engine.sampling_kmax,
+                        )
+                    else:
+                        nxt = engine._sample(
+                            jax.random.fold_in(rng, i), logits[:, 0]
+                        )
                     return cache, nxt, out.at[:, i].set(nxt)
 
                 cache, _, out = jax.lax.fori_loop(
@@ -641,6 +752,8 @@ class ServingEngine:
             jnp.asarray(self.lengths, jnp.int32),
             jnp.asarray(self.last_tokens, jnp.int32),
             srng,
+            jnp.asarray(self.row_temp), jnp.asarray(self.row_topk),
+            jnp.asarray(self.row_topp), jnp.asarray(self.row_seed),
         )
         out = np.asarray(jax.device_get(out))  # [B, k]
         for row, req in enumerate(self.row_request):
