@@ -51,6 +51,10 @@ def main():
     p.add_argument("--shared-prefix-len", type=int, default=0,
                    help="prepend this many identical tokens to every "
                         "prompt (models a common system prompt)")
+    p.add_argument("--per-request-sampling", action="store_true",
+                   help="each request carries its own SamplingParams "
+                        "(demo: alternating greedy / temperature+top-k "
+                        "rows sharing one batch)")
     args = p.parse_args()
 
     import jax
@@ -98,6 +102,7 @@ def main():
         decode_block_steps=args.decode_block_steps,
         prefix_caching=args.prefix_caching,
         spec_k=args.spec_k,
+        per_request_sampling=args.per_request_sampling,
     )
 
     rng = np.random.default_rng(args.seed)
@@ -110,7 +115,19 @@ def main():
         prompt = shared + rng.integers(
             1, model_args.vocab_size, size=plen
         ).astype(int).tolist()
-        rid = eng.submit(prompt, max_new_tokens=args.max_new_tokens)
+        sampling = None
+        if args.per_request_sampling:
+            from vats_tpu.inference.serving import SamplingParams
+
+            sampling = (
+                SamplingParams(temperature=0.0) if i % 2 == 0
+                else SamplingParams(
+                    temperature=max(args.temperature, 0.8), top_k=50, seed=i
+                )
+            )
+        rid = eng.submit(
+            prompt, max_new_tokens=args.max_new_tokens, sampling=sampling
+        )
         submit_t[rid] = time.perf_counter()
 
     t0 = time.perf_counter()

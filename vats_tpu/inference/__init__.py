@@ -22,5 +22,9 @@ from vats_tpu.inference.quantize import (
     quantize_params,
 )
 __all__ += ["QuantizedModel", "dequantize_params", "quantize_params"]
-from vats_tpu.inference.serving import PageAllocator, ServingEngine
-__all__ += ["PageAllocator", "ServingEngine"]
+from vats_tpu.inference.serving import (
+    PageAllocator,
+    SamplingParams,
+    ServingEngine,
+)
+__all__ += ["PageAllocator", "SamplingParams", "ServingEngine"]

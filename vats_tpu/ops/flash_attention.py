@@ -261,8 +261,23 @@ def _bwd_dkv_kernel(
     if left_window >= 0:
         run = jnp.logical_and(run, k_start + block_k - 1 >= q_start - left_window)
 
-    @pl.when(run)
-    def _compute():
+    # interior blocks (fully inside the causal/window bounds, all kv valid,
+    # no packing) skip the iota/compare/where battery entirely — the same
+    # fast path that took the FORWARD from 0.88x to ~1x vs XLA
+    interior = jnp.logical_not(jnp.asarray(use_segids))
+    if causal:
+        interior = jnp.logical_and(interior, k_start + block_k - 1 <= q_start)
+    elif right_window >= 0:
+        interior = jnp.logical_and(
+            interior, (k_start + block_k - 1) - q_start <= right_window
+        )
+    if left_window >= 0:
+        interior = jnp.logical_and(
+            interior, (q_start + block_q - 1) - k_start <= left_window
+        )
+    interior = jnp.logical_and(interior, jnp.all(valid_ref[b_idx] != 0))
+
+    def _tile_grads(masked):
         # storage-dtype matmul inputs (bf16 MXU path), fp32 accumulation
         q = q_ref[0, 0]  # [bq, d]
         do = do_ref[0, 0]
@@ -274,17 +289,24 @@ def _bwd_dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
-        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)[0, :]
-        mask = _block_mask(
-            q_ids, k_ids, causal=causal, left_window=left_window,
-            right_window=right_window,
-        )
-        mask &= (valid_ref[b_idx] != 0)[None, :]
-        if use_segids:
-            mask &= qseg_ref[b_idx][:, None] == kseg_ref[b_idx][None, :]
-        p = jnp.exp(jnp.where(mask, s, mask_value) - lse[:, None])
-        p = jnp.where(mask, p, 0.0)  # [bq, bk]
+        if masked:
+            q_ids = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0
+            )[:, 0]
+            k_ids = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )[0, :]
+            mask = _block_mask(
+                q_ids, k_ids, causal=causal, left_window=left_window,
+                right_window=right_window,
+            )
+            mask &= (valid_ref[b_idx] != 0)[None, :]
+            if use_segids:
+                mask &= qseg_ref[b_idx][:, None] == kseg_ref[b_idx][None, :]
+            p = jnp.exp(jnp.where(mask, s, mask_value) - lse[:, None])
+            p = jnp.where(mask, p, 0.0)  # [bq, bk]
+        else:
+            p = jnp.exp(s - lse[:, None])
 
         dv_acc[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -298,6 +320,14 @@ def _bwd_dkv_kernel(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # ds^T @ q -> [bk, d]
+
+    @pl.when(jnp.logical_and(run, interior))
+    def _compute_interior():
+        _tile_grads(False)
+
+    @pl.when(jnp.logical_and(run, jnp.logical_not(interior)))
+    def _compute_masked():
+        _tile_grads(True)
 
     @pl.when(inner == num_inner - 1)
     def _store():
@@ -338,8 +368,20 @@ def _bwd_dq_kernel(
     if left_window >= 0:
         run = jnp.logical_and(run, k_start + block_k - 1 >= q_start - left_window)
 
-    @pl.when(run)
-    def _compute():
+    interior = jnp.logical_not(jnp.asarray(use_segids))
+    if causal:
+        interior = jnp.logical_and(interior, k_start + block_k - 1 <= q_start)
+    elif right_window >= 0:
+        interior = jnp.logical_and(
+            interior, (k_start + block_k - 1) - q_start <= right_window
+        )
+    if left_window >= 0:
+        interior = jnp.logical_and(
+            interior, (q_start + block_q - 1) - k_start <= left_window
+        )
+    interior = jnp.logical_and(interior, jnp.all(valid_ref[b_idx] != 0))
+
+    def _tile_dq(masked):
         q = q_ref[0, 0]
         do = do_ref[0, 0]
         k = k_ref[0, 0]
@@ -350,17 +392,24 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
-        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)[0, :]
-        mask = _block_mask(
-            q_ids, k_ids, causal=causal, left_window=left_window,
-            right_window=right_window,
-        )
-        mask &= (valid_ref[b_idx] != 0)[None, :]
-        if use_segids:
-            mask &= qseg_ref[b_idx][:, None] == kseg_ref[b_idx][None, :]
-        p = jnp.exp(jnp.where(mask, s, mask_value) - lse[:, None])
-        p = jnp.where(mask, p, 0.0)
+        if masked:
+            q_ids = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0
+            )[:, 0]
+            k_ids = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )[0, :]
+            mask = _block_mask(
+                q_ids, k_ids, causal=causal, left_window=left_window,
+                right_window=right_window,
+            )
+            mask &= (valid_ref[b_idx] != 0)[None, :]
+            if use_segids:
+                mask &= qseg_ref[b_idx][:, None] == kseg_ref[b_idx][None, :]
+            p = jnp.exp(jnp.where(mask, s, mask_value) - lse[:, None])
+            p = jnp.where(mask, p, 0.0)
+        else:
+            p = jnp.exp(s - lse[:, None])
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -368,6 +417,14 @@ def _bwd_dq_kernel(
         dq_acc[...] += jax.lax.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
+
+    @pl.when(jnp.logical_and(run, interior))
+    def _compute_interior():
+        _tile_dq(False)
+
+    @pl.when(jnp.logical_and(run, jnp.logical_not(interior)))
+    def _compute_masked():
+        _tile_dq(True)
 
     @pl.when(kv_blk == num_kv_blocks - 1)
     def _store():
@@ -384,7 +441,7 @@ def _pad_to(x, size, axis, value=0):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 )
 def _flash_attention(
     q,
@@ -401,6 +458,8 @@ def _flash_attention(
     block_k,
     interpret,
     use_segids,
+    bwd_block_q,
+    bwd_block_k,
 ):
     return _flash_forward(
         q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
@@ -505,6 +564,7 @@ def _flash_forward(
 def _flash_fwd_rule(
     q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
     right_window, block_q, block_k, interpret, use_segids,
+    bwd_block_q, bwd_block_k,
 ):
     o, lse = _flash_forward(
         q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
@@ -516,7 +576,7 @@ def _flash_fwd_rule(
 
 def _flash_bwd_rule(
     scale, causal, left_window, right_window, block_q, block_k, interpret,
-    use_segids, residuals, do,
+    use_segids, bwd_block_q, bwd_block_k, residuals, do,
 ):
     """Fused Pallas backward: separate dK/dV and dQ kernels sharing the
     forward's masking and block-skip structure.  The [T, S] probability
@@ -529,10 +589,13 @@ def _flash_bwd_rule(
     ratio = hq // g
 
     # the backward kernels keep ~3x the forward's live VMEM (q/do/k/v blocks
-    # + two fp32 [bq, bk] intermediates); cap their blocks at 512
-    # independently of the forward's (the forward is fastest at 1024)
-    block_q = min(block_q, 512)
-    block_k = min(block_k, 512)
+    # + two fp32 [bq, bk] intermediates); their blocks are tunable
+    # independently of the forward's (the forward is fastest at 1024;
+    # defaults from tools/probe_flash_bwd.py on a v5e)
+    block_q = bwd_block_q if bwd_block_q else min(block_q, 512)
+    block_k = bwd_block_k if bwd_block_k else min(block_k, 512)
+    block_q = -(-min(block_q, max(t, 8)) // 8) * 8
+    block_k = -(-min(block_k, max(s, 8)) // NUM_LANES) * NUM_LANES
 
     t_pad = max(block_q, ((t + block_q - 1) // block_q) * block_q)
     s_pad = max(block_k, ((s + block_k - 1) // block_k) * block_k)
@@ -666,6 +729,8 @@ def flash_attention(
     kv_segment_ids: Optional[jnp.ndarray] = None,
     block_q: int = 1024,
     block_k: int = 1024,
+    bwd_block_q: Optional[int] = None,
+    bwd_block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Public API matching ops.dot_product_attention layouts.
@@ -706,6 +771,8 @@ def flash_attention(
         q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32),
         float(scale), bool(causal), int(left_window), int(right_window),
         int(block_q), int(block_k), bool(interpret), use_segids,
+        int(bwd_block_q) if bwd_block_q else 0,
+        int(bwd_block_k) if bwd_block_k else 0,
     )
     if d_tgt != d:
         out = out[..., :d]
