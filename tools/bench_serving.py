@@ -110,7 +110,9 @@ def main():
 
     eng = make_engine(prefix_caching=True, per_request_sampling=True)
 
-    # ---- warmup: compile every program the scenarios touch, off the clock
+    # ---- warmup: compile each scenario's programs just before it runs, so
+    # an expired budget still records the earlier scenarios (cold compiles
+    # at this tier run minutes each through the remote-TPU relay)
     def drain(e):
         done = {}
         while e.queue or any(r is not None for r in e.row_request):
@@ -118,19 +120,14 @@ def main():
                 done[req.rid] = req
         return done
 
-    for k in (4, 1, 8):
-        eng.decode_block_steps = k
-        for n in ((1, 2, 4) if k == 4 else (1,)):
+    def warm(e, k, plens):
+        e.decode_block_steps = k
+        for n in (1, 2, 4):
             for _ in range(n):
-                eng.submit(prompt(100), max_new_tokens=4, sampling=sp)
-            drain(eng)
-    # the prefix scenario's cold wave prefills 296-token prompts (384
-    # bucket): compile those programs off the clock too
-    eng.decode_block_steps = 4
-    for n in (1, 2, 4):
-        for _ in range(n):
-            eng.submit(prompt(296), max_new_tokens=4, sampling=sp)
-        drain(eng)
+                e.submit(prompt(plens), max_new_tokens=4, sampling=sp)
+            drain(e)
+
+    warm(eng, 4, 100)  # scenario 1: prefill rpads {1,2,4} + decode k=4
     RESULTS["warmup_s"] = round(time.monotonic() - T0, 1)
     emit()
 
@@ -181,6 +178,10 @@ def main():
         for k in (1, 4, 8):
             if remaining() < 20:
                 break
+            if k != 4:  # compile this k's decode program off the clock
+                eng.decode_block_steps = k
+                eng.submit(prompt(100), max_new_tokens=4, sampling=sp)
+                drain(eng)
             eng.decode_block_steps = k
             rids = [
                 eng.submit(prompt(100), max_new_tokens=max_new,
@@ -200,7 +201,7 @@ def main():
 
     # ---- scenario 3: prefix caching, cold vs warm wave ----
     def scenario_prefix():
-        eng.decode_block_steps = 4
+        warm(eng, 4, 296)  # 384-bucket prefill programs (cold wave's tails)
         system = prompt(sys_prompt_len)
         waves = []
         hit0 = eng.prefix_cache.hit_tokens

@@ -223,9 +223,16 @@ class ServingEngine:
         rid = eng.submit([1, 2, 3], max_new_tokens=32)
         outputs = eng.run()          # {rid: [token, ...]}
 
-    Greedy by default; sampled mode via temperature/top_k/top_p.  Requests
-    queue when all rows are busy or the page pool is full, and are admitted
-    as rows/pages free up — the page pool may be sized well below
+    Greedy by default; sampled mode via temperature/top_k/top_p.  With
+    ``per_request_sampling=True`` each submit() may carry its own
+    :class:`SamplingParams` (the per-call GenerationArgs the reference's
+    ``generate_tokens(prompt, gen_args, tokenizer)`` signature implies,
+    /root/reference/src/transformers/nlp/inference/generate.py:244) —
+    rows with different temperatures/top-k/top-p share one jitted decode
+    program, greedy rows stay bit-exact with their solo oracle, and seeded
+    rows draw a (seed, position)-keyed stream independent of batchmates.
+    Requests queue when all rows are busy or the page pool is full, and are
+    admitted as rows/pages free up — the page pool may be sized well below
     max_batch * max_context (see ``total_pages``).
     """
 
