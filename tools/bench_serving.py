@@ -80,8 +80,13 @@ def main():
             capacity_factor=1.25, gradient_checkpointing=False,
             max_seq_len=384, left_window=-1, use_mqa=False,
         )
-        max_batch, n_req, max_new = 64, 96, 96
-        sys_prompt_len, arrival_gap_s = 256, 0.025
+        # B=128 rows + blocked decode amortize the per-sync host cost —
+        # through this container's remote-TPU relay every scheduler sync
+        # costs ~60 ms of round trip on top of the ~20 ms device step, so
+        # un-amortized scenarios are relay-bound, not chip-bound (the
+        # block-steps sweep quantifies exactly this)
+        max_batch, n_req, max_new = 128, 192, 96
+        sys_prompt_len, arrival_gap_s = 256, 0.015
 
     model = TextLM(cfg)
     import jax.numpy as jnp
@@ -127,13 +132,14 @@ def main():
                 e.submit(prompt(plens), max_new_tokens=4, sampling=sp)
             drain(e)
 
-    warm(eng, 4, 100)  # scenario 1: prefill rpads {1,2,4} + decode k=4
+    # scenario 1's programs: prefill rpads {1,2,4} + its decode block size
+    warm(eng, 8 if not smoke else 4, 100)
     RESULTS["warmup_s"] = round(time.monotonic() - T0, 1)
     emit()
 
     # ---- scenario 1: Poisson arrivals, throughput + latency ----
     def scenario_poisson():
-        eng.decode_block_steps = 4
+        eng.decode_block_steps = 8 if not smoke else 4
         gaps = rng.exponential(arrival_gap_s, size=n_req)
         arrivals = np.cumsum(gaps)
         plens = rng.integers(90, 128, size=n_req)
@@ -175,7 +181,7 @@ def main():
     # ---- scenario 2: decode_block_steps sweep (host-sync amortization) ----
     def scenario_blocks():
         sweep = {}
-        for k in (1, 4, 8):
+        for k in (1, 4, 8, 16):
             if remaining() < 20:
                 break
             if k != 4:  # compile this k's decode program off the clock
@@ -186,7 +192,7 @@ def main():
             rids = [
                 eng.submit(prompt(100), max_new_tokens=max_new,
                            sampling=SamplingParams(0.8, 50, seed=100 + j))
-                for j in range(min(32, max_batch))
+                for j in range(min(64, max_batch))
             ]
             t0 = time.perf_counter()
             done = drain(eng)
@@ -201,16 +207,18 @@ def main():
 
     # ---- scenario 3: prefix caching, cold vs warm wave ----
     def scenario_prefix():
-        warm(eng, 4, 296)  # 384-bucket prefill programs (cold wave's tails)
+        # 384-bucket prefill programs (the cold wave's 296-token tails)
+        warm(eng, 8 if not smoke else 4, 296)
         system = prompt(sys_prompt_len)
         waves = []
         hit0 = eng.prefix_cache.hit_tokens
         q0 = eng.prefix_cache.query_tokens
+        n_wave = 32 if not smoke else 8
         for _wave in range(2):
             rids = [
                 eng.submit(system + prompt(40), max_new_tokens=max_new,
                            sampling=SamplingParams(0.8, 50, seed=200 + j))
-                for j in range(16)
+                for j in range(n_wave)
             ]
             t0 = time.perf_counter()
             done = drain(eng)

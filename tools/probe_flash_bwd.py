@@ -33,7 +33,10 @@ def main():
     from vats_tpu.ops.attention_xla import dot_product_attention
     from vats_tpu.ops.flash_attention import flash_attention
 
-    shape = os.environ.get("PROBE_SHAPE", "4,4096,24,8,64")
+    # B=2 default: the XLA baseline's materialized fwd+bwd scores at B=4
+    # T=4096 (2x [4,24,4096,4096] fp32 ~ 12.8 GB) sit at the HBM edge and
+    # have wedged the relay; halving batch keeps the comparison honest
+    shape = os.environ.get("PROBE_SHAPE", "2,4096,24,8,64")
     b, t, hq, g, d = (int(x) for x in shape.split(","))
     window = int(os.environ.get("PROBE_WINDOW", "-1"))
     scale = 1.0 / math.sqrt(d)
