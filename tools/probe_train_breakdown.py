@@ -114,45 +114,54 @@ def main():
     targs_base = dict(grad_accum_steps=1, fused_ce_chunk=128,
                       adam_mu_dtype="bfloat16")
 
-    # full step (the bench configuration)
-    out["full_step_ms"] = round(
-        step_ms(make_cfg(), TrainingArgs(**targs_base)), 2)
-    # fwd-only and fwd+bwd (classic CE — fused CE needs the loop plumbing)
-    out["fwd_only_classic_ce_ms"] = round(
-        step_ms(make_cfg(gradient_checkpointing=False),
-                TrainingArgs(**targs_base), mode="fwd"), 2)
-    out["fwd_bwd_classic_ce_remat_ms"] = round(
-        step_ms(make_cfg(), TrainingArgs(**targs_base), mode="grad"), 2)
-    # attention impl: XLA oracle instead of the flash kernel
-    out["full_step_xla_attn_ms"] = round(
-        step_ms(make_cfg(attention_impl="xla"), TrainingArgs(**targs_base)),
-        2)
-    # CE strategy: materialized [B, T, V] fp32 logits
-    out["full_step_classic_ce_ms"] = round(
-        step_ms(make_cfg(), TrainingArgs(**dict(
-            targs_base, fused_ce_chunk=None))), 2)
-    # remat policies
-    out["full_step_no_remat_ms"] = round(
-        step_ms(make_cfg(gradient_checkpointing=False),
-                TrainingArgs(**targs_base)), 2)
-    out["full_step_full_remat_ms"] = round(
-        step_ms(make_cfg(remat_policy="full"), TrainingArgs(**targs_base)),
-        2)
-    # optimizer state dtype
-    out["full_step_fp32_mu_ms"] = round(
-        step_ms(make_cfg(), TrainingArgs(**dict(
-            targs_base, adam_mu_dtype=None))), 2)
+    variants = [
+        # (name, cfg kwargs, targs overrides, mode)
+        ("full_step_ms", {}, {}, "step"),  # the bench configuration
+        ("fwd_bwd_classic_ce_remat_ms", {}, {}, "grad"),
+        ("full_step_xla_attn_ms", {"attention_impl": "xla"}, {}, "step"),
+        ("full_step_fused_ce256_ms", {}, {"fused_ce_chunk": 256}, "step"),
+        ("full_step_fused_ce512_ms", {}, {"fused_ce_chunk": 512}, "step"),
+        ("full_step_full_remat_ms", {"remat_policy": "full"}, {}, "step"),
+        ("full_step_fp32_mu_ms", {}, {"adam_mu_dtype": None}, "step"),
+        ("fwd_only_classic_ce_ms", {"gradient_checkpointing": False}, {},
+         "fwd"),
+        # memory-hungry variants last: [B,T,V] fp32 logits / no remat
+        ("full_step_classic_ce_ms", {}, {"fused_ce_chunk": None}, "step"),
+        ("full_step_no_remat_ms", {"gradient_checkpointing": False}, {},
+         "step"),
+    ]
+    import gc
 
-    full = out["full_step_ms"]
-    toks = batch * seq
-    out["tokens_per_sec_full_step"] = round(toks / (full / 1e3), 1)
-    out["derived"] = {
-        "optimizer_ms": round(full - out["fwd_bwd_classic_ce_remat_ms"], 2),
-        "xla_attn_delta_ms": round(out["full_step_xla_attn_ms"] - full, 2),
-        "classic_ce_delta_ms": round(
-            out["full_step_classic_ce_ms"] - full, 2),
-        "remat_cost_ms": round(full - out["full_step_no_remat_ms"], 2),
-    }
+    for name, ckw, tkw, mode in variants:
+        try:
+            out[name] = round(step_ms(
+                make_cfg(**ckw), TrainingArgs(**dict(targs_base, **tkw)),
+                mode=mode,
+            ), 2)
+        except Exception as e:  # noqa: BLE001 — OOM variants must not kill
+            out[name] = f"error: {repr(e)[:100]}"
+        gc.collect()
+        jax.clear_caches()
+        print(json.dumps(out), flush=True)  # cumulative; last line wins
+
+    full = out.get("full_step_ms")
+    if isinstance(full, float):
+        toks = batch * seq
+        out["tokens_per_sec_full_step"] = round(toks / (full / 1e3), 1)
+        d = {}
+        if isinstance(out.get("fwd_bwd_classic_ce_remat_ms"), float):
+            d["optimizer_ms"] = round(
+                full - out["fwd_bwd_classic_ce_remat_ms"], 2)
+        if isinstance(out.get("full_step_xla_attn_ms"), float):
+            d["xla_attn_delta_ms"] = round(
+                out["full_step_xla_attn_ms"] - full, 2)
+        if isinstance(out.get("full_step_classic_ce_ms"), float):
+            d["classic_ce_delta_ms"] = round(
+                out["full_step_classic_ce_ms"] - full, 2)
+        if isinstance(out.get("full_step_no_remat_ms"), float):
+            d["remat_cost_ms"] = round(
+                full - out["full_step_no_remat_ms"], 2)
+        out["derived"] = d
     print(json.dumps(out))
 
 

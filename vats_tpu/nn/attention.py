@@ -61,14 +61,27 @@ def _warn_cp_fallback(reason: str) -> None:
     )
 
 
-def select_attention_impl(impl: str, *, head_dim: int) -> str:
+#: below this sequence length 'auto' routes to the XLA path even on TPU:
+#: the flash kernel's block machinery has nothing to skip at short
+#: sequences and measurably loses there (ViT-3D-large factorized shapes —
+#: spatial 196 / temporal 4 tokens — run 0.7-0.9x vs XLA;
+#: tools/probe_vit3d_breakdown.py), while at 4096 the kernel wins 1.17x.
+FLASH_MIN_SEQ_LEN = 256
+
+
+def select_attention_impl(
+    impl: str, *, head_dim: int, seq_len: Optional[int] = None
+) -> str:
     """'auto' picks the Pallas flash kernel on TPU (any head dim — the kernel
     zero-pads off-tile head dims internally, matching the reference's flash
     default at head_dim 64, /root/reference/configs/setup_env.py:14-20), the
     XLA oracle otherwise.  'flash_interpret' runs the kernel in interpreter
-    mode (CPU tests)."""
+    mode (CPU tests).  When the (static) ``seq_len`` is known and short,
+    'auto' prefers XLA — see FLASH_MIN_SEQ_LEN."""
     if impl != "auto":
         return impl
+    if seq_len is not None and seq_len < FLASH_MIN_SEQ_LEN:
+        return "xla"
     try:
         import jax
 
@@ -252,7 +265,9 @@ class Attention(nn.Module):
                 q, k, v, scale, causal, left_window, right_window,
                 padding_mask, segment_ids,
             )
-            impl = select_attention_impl(self.impl, head_dim=self.head_dim)
+            impl = select_attention_impl(
+                self.impl, head_dim=self.head_dim, seq_len=t
+            )
             if cp_out is not None:
                 out = cp_out
             elif impl in ("flash", "flash_interpret"):
@@ -370,7 +385,7 @@ class Attention(nn.Module):
             kv_valid = None
             if padding_mask is not None:
                 kv_valid = padding_mask.astype(bool)[:, :t]
-            impl = select_attention_impl(self.impl, head_dim=hd)
+            impl = select_attention_impl(self.impl, head_dim=hd, seq_len=t)
             if impl in ("flash", "flash_interpret"):
                 from vats_tpu.ops.flash_attention import flash_attention
 
