@@ -184,11 +184,10 @@ def main():
         for k in (1, 4, 8, 16):
             if remaining() < 20:
                 break
-            if k != 4:  # compile this k's decode program off the clock
-                eng.decode_block_steps = k
-                eng.submit(prompt(100), max_new_tokens=4, sampling=sp)
-                drain(eng)
+            # compile this k's decode program off the clock
             eng.decode_block_steps = k
+            eng.submit(prompt(100), max_new_tokens=max(4, k), sampling=sp)
+            drain(eng)
             rids = [
                 eng.submit(prompt(100), max_new_tokens=max_new,
                            sampling=SamplingParams(0.8, 50, seed=100 + j))

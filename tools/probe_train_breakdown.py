@@ -114,34 +114,53 @@ def main():
     targs_base = dict(grad_accum_steps=1, fused_ce_chunk=128,
                       adam_mu_dtype="bfloat16")
 
-    variants = [
-        # (name, cfg kwargs, targs overrides, mode)
-        ("full_step_ms", {}, {}, "step"),  # the bench configuration
-        ("fwd_bwd_classic_ce_remat_ms", {}, {}, "grad"),
-        ("full_step_xla_attn_ms", {"attention_impl": "xla"}, {}, "step"),
-        ("full_step_fused_ce256_ms", {}, {"fused_ce_chunk": 256}, "step"),
-        ("full_step_fused_ce512_ms", {}, {"fused_ce_chunk": 512}, "step"),
-        ("full_step_full_remat_ms", {"remat_policy": "full"}, {}, "step"),
-        ("full_step_fp32_mu_ms", {}, {"adam_mu_dtype": None}, "step"),
-        ("fwd_only_classic_ce_ms", {"gradient_checkpointing": False}, {},
-         "fwd"),
-        # memory-hungry variants last: [B,T,V] fp32 logits / no remat
-        ("full_step_classic_ce_ms", {}, {"fused_ce_chunk": None}, "step"),
-        ("full_step_no_remat_ms", {"gradient_checkpointing": False}, {},
-         "step"),
-    ]
-    import gc
+    variants = {
+        # name: (cfg kwargs, targs overrides, mode)
+        "full_step_ms": ({}, {}, "step"),  # the bench configuration
+        "fwd_bwd_classic_ce_remat_ms": ({}, {}, "grad"),
+        "full_step_xla_attn_ms": ({"attention_impl": "xla"}, {}, "step"),
+        "full_step_fused_ce256_ms": ({}, {"fused_ce_chunk": 256}, "step"),
+        "full_step_fused_ce512_ms": ({}, {"fused_ce_chunk": 512}, "step"),
+        "full_step_full_remat_ms": ({"remat_policy": "full"}, {}, "step"),
+        "full_step_fp32_mu_ms": ({}, {"adam_mu_dtype": None}, "step"),
+        "fwd_only_classic_ce_ms": (
+            {"gradient_checkpointing": False}, {}, "fwd"),
+        "full_step_classic_ce_ms": ({}, {"fused_ce_chunk": None}, "step"),
+        "full_step_no_remat_ms": (
+            {"gradient_checkpointing": False}, {}, "step"),
+    }
 
-    for name, ckw, tkw, mode in variants:
+    one = os.environ.get("PROBE_VARIANT")
+    if one:
+        ckw, tkw, mode = variants[one]
+        print(json.dumps({one: round(step_ms(
+            make_cfg(**ckw), TrainingArgs(**dict(targs_base, **tkw)),
+            mode=mode,
+        ), 2)}), flush=True)
+        return
+
+    # dispatcher: one SUBPROCESS per variant — remote-HBM freeing between
+    # in-process variants is unreliable (a failed variant poisoned every
+    # later one with RESOURCE_EXHAUSTED), and a subprocess guarantees it
+    import subprocess
+
+    for name in variants:
         try:
-            out[name] = round(step_ms(
-                make_cfg(**ckw), TrainingArgs(**dict(targs_base, **tkw)),
-                mode=mode,
-            ), 2)
-        except Exception as e:  # noqa: BLE001 — OOM variants must not kill
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, PROBE_VARIANT=name),
+                capture_output=True, text=True, timeout=1500,
+            )
+            got = None
+            for line in reversed((r.stdout or "").strip().splitlines()):
+                if line.startswith("{"):
+                    got = json.loads(line)
+                    break
+            out[name] = got[name] if got else (
+                f"error: {(r.stderr or '')[-120:]}"
+            )
+        except Exception as e:  # noqa: BLE001
             out[name] = f"error: {repr(e)[:100]}"
-        gc.collect()
-        jax.clear_caches()
         print(json.dumps(out), flush=True)  # cumulative; last line wins
 
     full = out.get("full_step_ms")

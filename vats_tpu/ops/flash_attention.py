@@ -590,10 +590,13 @@ def _flash_bwd_rule(
 
     # the backward kernels keep ~3x the forward's live VMEM (q/do/k/v blocks
     # + two fp32 [bq, bk] intermediates); their blocks are tunable
-    # independently of the forward's (the forward is fastest at 1024;
-    # defaults from tools/probe_flash_bwd.py on a v5e)
-    block_q = bwd_block_q if bwd_block_q else min(block_q, 512)
-    block_k = bwd_block_k if bwd_block_k else min(block_k, 512)
+    # independently of the forward's.  Defaults from the
+    # tools/probe_flash_bwd.py sweep on a v5e (B=2, T=4096, causal, hd64):
+    # (bq=256, bk=1024) runs the fwd+bwd pair at 2.14x the XLA path, vs
+    # 0.85x for the old (512, 512) cap — small q blocks pipeline the
+    # dKV kernel's inner accumulation loop, large k blocks keep the MXU fed
+    block_q = bwd_block_q if bwd_block_q else min(block_q, 256)
+    block_k = bwd_block_k if bwd_block_k else min(max(block_k, 512), 1024)
     block_q = -(-min(block_q, max(t, 8)) // 8) * 8
     block_k = -(-min(block_k, max(s, 8)) // NUM_LANES) * NUM_LANES
 
