@@ -181,7 +181,7 @@ def main():
     # ---- scenario 2: decode_block_steps sweep (host-sync amortization) ----
     def scenario_blocks():
         sweep = {}
-        for k in (1, 4, 8, 16):
+        for k in (1, 8, 16):
             if remaining() < 20:
                 break
             # compile this k's decode program off the clock

@@ -50,13 +50,23 @@ def run_tier(tier: str, batch: int):
         params,
     )
     n_params = sum(a.size for a in jax.tree_util.tree_leaves(params))
-    fwd = jax.jit(lambda p, xx: model.apply(p, xx))
-    jax.device_get(fwd(params, x))  # compile
 
+    # N_ITERS forwards inside ONE jitted fori_loop: per-dispatch timing
+    # through the remote-TPU relay is noise-dominated at ~60 ms forwards
+    # (identical code measured anywhere from 320 to 4,641 f/s across
+    # runs); the input is perturbed per iteration so XLA cannot hoist the
+    # loop-invariant model out of the loop
+    @jax.jit
+    def fwd_loop(p, xx):
+        def body(i, acc):
+            xi = xx * (1.0 + i.astype(xx.dtype) * 1e-6)
+            return acc + jnp.sum(model.apply(p, xi).astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, N_ITERS, body, jnp.zeros((), jnp.float32))
+
+    jax.device_get(fwd_loop(params, x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        out = fwd(params, x)
-    jax.device_get(out)
+    jax.device_get(fwd_loop(params, x))
     dt = time.perf_counter() - t0
     frames_per_sec = batch * cfg.max_frames * N_ITERS / dt
 

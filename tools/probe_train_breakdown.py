@@ -118,7 +118,12 @@ def main():
         # name: (cfg kwargs, targs overrides, mode)
         "full_step_ms": ({}, {}, "step"),  # the bench configuration
         "fwd_bwd_classic_ce_remat_ms": ({}, {}, "grad"),
-        "full_step_xla_attn_ms": ({"attention_impl": "xla"}, {}, "step"),
+        # XLA attention under remat='dots' OOMs: the policy saves matmul
+        # outputs, and the [B, H, T, T] score matrices ARE matmul outputs
+        # (~8 GB over 20 layers at B=16).  Compare at remat='full' against
+        # the flash full-remat variant instead.
+        "full_step_xla_attn_ms": (
+            {"attention_impl": "xla", "remat_policy": "full"}, {}, "step"),
         "full_step_fused_ce256_ms": ({}, {"fused_ce_chunk": 256}, "step"),
         "full_step_fused_ce512_ms": ({}, {"fused_ce_chunk": 512}, "step"),
         "full_step_full_remat_ms": ({"remat_policy": "full"}, {}, "step"),
