@@ -436,40 +436,51 @@ def main():
         kv = jax.random.normal(jax.random.PRNGKey(4), (bk, sk, g, hd), jnp.bfloat16)
         scale = 1.0 / math.sqrt(hd)
 
-        def timed_op(f, *args, n=10):
-            jax.device_get(f(*args))
+        def timed_loop(f, n=10):
+            # n calls inside ONE jitted fori_loop (q perturbed per
+            # iteration so XLA cannot hoist the body): per-dispatch timing
+            # through the remote-TPU relay is noise-dominated at ~10 ms
+            # ops — the same delta measured 0.68x and 1.17x across runs
+            @jax.jit
+            def run(q, k, v):
+                def body(i, acc):
+                    qi = q * (1.0 + i.astype(q.dtype) * 1e-6)
+                    out = f(qi, k, v)
+                    leaf = out[0] if isinstance(out, tuple) else out
+                    return acc + jnp.sum(leaf.astype(jnp.float32))
+
+                return jax.lax.fori_loop(
+                    0, n, body, jnp.zeros((), jnp.float32)
+                )
+
+            jax.device_get(run(kq, kk, kv))
             t0 = time.perf_counter()
-            for _ in range(n):
-                out = f(*args)
-            jax.device_get(out)
+            jax.device_get(run(kq, kk, kv))
             return (time.perf_counter() - t0) / n
 
         def speedup(window):
-            f_flash = jax.jit(lambda q, k, v: flash_attention(
+            t_flash = timed_loop(lambda q, k, v: flash_attention(
                 q, k, v, scale=scale, causal=True, left_window=window))
-            f_xla = jax.jit(lambda q, k, v: dot_product_attention(
+            t_xla = timed_loop(lambda q, k, v: dot_product_attention(
                 q, k, v, scale=scale, causal=True, left_window=window))
-            return round(
-                timed_op(f_xla, kq, kk, kv) / timed_op(f_flash, kq, kk, kv), 2
-            )
+            return round(t_xla / t_flash, 2)
 
         RESULTS["flash_vs_xla_prefill_speedup"] = speedup(-1)
         sec["flash_vs_xla_swa1024_speedup"] = speedup(1024)
         emit()
 
         # fwd+bwd at a training shape (the custom VJP path)
-        def train_loss(attn_fn):
+        def grad_of(attn_fn):
             def f(q, k, v):
                 return jnp.sum(attn_fn(q, k, v).astype(jnp.float32))
-            return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+            return jax.grad(f, argnums=(0, 1, 2))
 
-        g_flash = train_loss(lambda q, k, v: flash_attention(
+        g_flash = grad_of(lambda q, k, v: flash_attention(
             q, k, v, scale=scale, causal=True, left_window=-1))
-        g_xla = train_loss(lambda q, k, v: dot_product_attention(
+        g_xla = grad_of(lambda q, k, v: dot_product_attention(
             q, k, v, scale=scale, causal=True, left_window=-1))
         sec["flash_vs_xla_fwdbwd_speedup"] = round(
-            timed_op(g_xla, kq, kk, kv, n=5)
-            / timed_op(g_flash, kq, kk, kv, n=5), 2
+            timed_loop(g_xla, n=5) / timed_loop(g_flash, n=5), 2
         )
 
     run_stage("kernels", stage_kernels, min_s=90)
