@@ -51,7 +51,12 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _CALIB_FILE = os.path.join(_HERE, "tools", "baseline_calibration_medium.json")
 
 T0 = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+# Even fully warm, the 12 stages take ~25-35 min on the relay; the budget
+# orders stages most-important-first and every stage boundary re-emits the
+# full record, so a harder external timeout still captures everything
+# emitted up to the kill (round 3's all-or-nothing print is what produced
+# an empty record).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 
 RESULTS = {
     "metric": "moe_decode_tokens_per_sec_per_chip",
