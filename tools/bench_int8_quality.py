@@ -76,6 +76,11 @@ def main():
                      f"E{cfg.num_experts}top{cfg.top_k}, B={batch}, "
                      f"T={total_t} (prefill {prefill_t}), random-init"}
 
+    def emit():
+        # cumulative; the caller (bench.py) parses the LAST line, so a
+        # timeout still records whatever was measured
+        print(json.dumps(out), flush=True)
+
     # ---- teacher-forced full forward: logit delta + perplexity ----
     def fwd(m, p):
         logits, _, _ = m.apply(p, toks, deterministic=True)
@@ -100,6 +105,7 @@ def main():
     out["ppl_bf16"] = round(ppl_bf16, 2)
     out["ppl_int8w"] = round(ppl_int8w, 2)
     out["ppl_int8w_delta_pct"] = round(100 * (ppl_int8w / ppl_bf16 - 1), 3)
+    emit()
     del l_bf16, l_int8
 
     # ---- decode-path perplexity through the paged cache ----
@@ -142,17 +148,20 @@ def main():
 
     d_bf16 = decode_ppl(model, params, None)
     out["decode_ppl_bf16"] = round(d_bf16, 2)
+    emit()
     d_int8kv = decode_ppl(model, params, "int8")
     out["decode_ppl_int8kv"] = round(d_int8kv, 2)
     out["decode_ppl_int8kv_delta_pct"] = round(
         100 * (d_int8kv / d_bf16 - 1), 3
     )
+    emit()
     del params
     import gc
 
     gc.collect()
     d_int8w = decode_ppl(qmodel, qparams, None)
     out["decode_ppl_int8w"] = round(d_int8w, 2)
+    emit()
     d_int8wkv = decode_ppl(qmodel, qparams, "int8")
     out["decode_ppl_int8w_kv"] = round(d_int8wkv, 2)
     out["decode_ppl_int8w_kv_delta_pct"] = round(
