@@ -69,6 +69,7 @@ def test_vit3d_more_frames_than_max_truncates():
     assert out.shape == (1, gt * gh * gw, cfg.d_model)
 
 
+@pytest.mark.slow
 def test_vit3d_single_frame_batch_of_one():
     cfg = vit3d_tiny_test()
     model = VideoTransformer(cfg)

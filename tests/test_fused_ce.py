@@ -86,7 +86,8 @@ def test_fused_train_step_matches_classic(tie):
         state = create_train_state(
             model, tx, jax.random.PRNGKey(3), jnp.zeros((b, t), jnp.int32)
         )
-        step = make_train_step_fn(model, targs)
+        # jit: the eager op-by-op step dominated the fast lane (36 s)
+        step = jax.jit(make_train_step_fn(model, targs))
         return step(state, batch, jax.random.PRNGKey(4))
 
     s_classic, m_classic = one_step(TrainingArgs(grad_accum_steps=1))

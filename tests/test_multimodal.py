@@ -182,6 +182,7 @@ def test_fused_paged_decode_matches_full_forward(model_and_params):
             )
 
 
+@pytest.mark.slow
 def test_dense_cache_decode_matches_paged(model_and_params):
     """Step-by-step dense-cache decode produces the same logits chain as the
     paged path for an un-padded prompt."""

@@ -1,5 +1,6 @@
 """Paged-cache generation: parity with the dense-cache path + ragged batches."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +21,7 @@ def tiny_args(**kw):
     return ModelArgs(**base)
 
 
+@pytest.mark.slow
 def test_paged_model_forward_matches_dense_cache():
     """Paged prefill+decode logits == dense-cache logits == full forward."""
     args = tiny_args()

@@ -182,6 +182,7 @@ def test_random_erasing_zeroes_box():
     np.testing.assert_array_equal(np.asarray(out0), np.asarray(images))
 
 
+@pytest.mark.slow
 def test_vision_train_step_with_on_device_pixel_augs():
     """Full jitted step at tiny shapes with the battery enabled."""
     from vats_tpu.configs.vit2d import vit2d_xsmall

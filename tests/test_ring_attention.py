@@ -94,6 +94,7 @@ def test_ring_with_padding_mask():
     )
 
 
+@pytest.mark.slow
 def test_ring_gradients_match_oracle():
     """Autodiff through the blockwise ring (scan + cond + ppermute) must
     produce the oracle's gradients — this is the path CP training takes."""

@@ -123,11 +123,25 @@ def test_ring_prefill_longer_than_ring():
     # force dense by windowless config + explicit window mask equivalence is
     # not available; instead compare against the uncached full forward:
     # greedy next-token from the full-sequence logits, step by step.
-    ids = prompt
-    for _ in range(32):
-        logits, _, _ = model.apply(params, ids, deterministic=True)
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-        ids = jnp.concatenate([ids, nxt[:, None]], axis=1)
+    # STATIC shapes (fixed 232-wide buffer + validity mask): the naive
+    # growing-sequence loop recompiled the forward 32 times and alone cost
+    # 250 s of the fast lane.
+    total = 232
+    ids = jnp.zeros((1, total), jnp.int32).at[:, :200].set(prompt)
+
+    @jax.jit
+    def oracle_logits(ids, mask):
+        logits, _, _ = model.apply(
+            params, ids, padding_mask=mask, deterministic=True
+        )
+        return logits
+
+    for step in range(32):
+        cur = 200 + step
+        mask = (jnp.arange(total) < cur)[None, :]
+        logits = oracle_logits(ids, mask)
+        nxt = jnp.argmax(logits[:, cur - 1], axis=-1).astype(jnp.int32)
+        ids = ids.at[:, cur].set(nxt)
     np.testing.assert_array_equal(
         np.asarray(toks_ring[:, 200:232]), np.asarray(ids[:, 200:])
     )

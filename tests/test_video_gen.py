@@ -69,6 +69,7 @@ def test_temporal_causality(model_and_params):
     )
 
 
+@pytest.mark.slow
 def test_spatial_causality_within_frame(model_and_params):
     """Changing a later raster position must not affect earlier positions."""
     model, params = model_and_params

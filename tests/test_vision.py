@@ -54,6 +54,7 @@ def test_vit2d_classifier_head():
     assert out.shape == (2, 10)
 
 
+@pytest.mark.slow
 def test_vit2d_gradients_finite():
     cfg = vit2d_xsmall(dtype="float32", num_classes=4)
     model = ImageEncoder(cfg)
@@ -122,6 +123,7 @@ def test_vit3d_forward_features_and_mask_isolation():
     )
 
 
+@pytest.mark.slow
 def test_vit3d_classifier_head_and_training_step():
     cfg = vit3d_tiny_test(use_classifier_head=True)
     model = VideoTransformer(cfg)
