@@ -557,7 +557,6 @@ def main():
         if sj:
             sec["serving_engine"] = sj
 
-    run_stage("serving_engine", stage_serving, min_s=180)
 
     def stage_train():
         if not on_tpu or smoke:
@@ -626,6 +625,10 @@ def main():
             sec["int8_quality"] = qj
 
     run_stage("int8_quality", stage_int8_quality, min_s=120)
+    # serving last: it is the longest subprocess (~450-700 s) with the
+    # highest relay-latency variance, and its cumulative emission means a
+    # budget expiry mid-run still records the completed scenarios
+    run_stage("serving_engine", stage_serving, min_s=180)
 
     RESULTS["bench_wall_s"] = round(time.monotonic() - T0, 1)
     emit()
