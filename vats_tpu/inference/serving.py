@@ -444,10 +444,6 @@ class ServingEngine:
                 # must be recomputed so its logits seed the first decode
                 usable = (plen - 1) // self.page_size
                 cached_pages = self.prefix_cache.lookup(keys)[:usable]
-                self.prefix_cache.query_tokens += plen
-                self.prefix_cache.hit_tokens += (
-                    len(cached_pages) * self.page_size
-                )
             cached_slots = len(cached_pages)
             cached_keys = keys[:cached_slots]
             # Pin the matched pages BEFORE any reclaim: refcount-0 prefix
@@ -465,6 +461,14 @@ class ServingEngine:
                     self.prefix_cache.release(cached_keys)
                 break  # head-of-line waits for pages to free
             self.queue.pop(0)
+            if self.prefix_cache is not None:
+                # stats count ADMITTED prompts only — a head-of-line request
+                # waiting for pages must not re-count its query/hit tokens
+                # on every retry
+                self.prefix_cache.query_tokens += plen
+                self.prefix_cache.hit_tokens += (
+                    cached_slots * self.page_size
+                )
             pages = cached_pages + self.allocator.alloc(need)
             self.row_pages[row] = pages
             self.tables[row, :] = 0
