@@ -625,6 +625,23 @@ def main():
             sec["int8_quality"] = qj
 
     run_stage("int8_quality", stage_int8_quality, min_s=120)
+
+    def stage_gen():
+        """Image / video / fused-multimodal generation (BASELINE configs
+        #4-5 — the reference's generation entry points are EMPTY files,
+        /root/reference/src/autoregressive_*/.../generation/generate.py)."""
+        if not on_tpu or smoke:
+            return
+        gj = _sub_json(
+            [sys.executable, os.path.join(_HERE, "tools", "bench_gen.py")],
+            {},
+            timeout_s=sub_timeout(),
+        )
+        if gj:
+            sec["generation"] = gj
+
+    run_stage("generation", stage_gen, min_s=120)
+
     # serving last: it is the longest subprocess (~450-700 s) with the
     # highest relay-latency variance, and its cumulative emission means a
     # budget expiry mid-run still records the completed scenarios

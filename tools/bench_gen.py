@@ -30,6 +30,24 @@ def main():
     from vats_tpu.models.video_gen import AutoregressiveVideoTransformer
 
     results = []
+    summary = {}
+    _SHORT = {
+        "image_gen_tokens_per_sec_per_chip": "image_gen_toks_per_sec",
+        "video_gen_tokens_per_sec_per_chip": "video_gen_toks_per_sec",
+        "multimodal_fused_paged_tokens_per_sec_per_chip":
+            "multimodal_fused_toks_per_sec",
+    }
+
+    def record(r):
+        """Print the stack's own line plus a CUMULATIVE summary line — the
+        caller (bench.py) parses the last line, so a timeout mid-run still
+        folds the completed stacks."""
+        results.append(r)
+        print(json.dumps(r), flush=True)
+        key = _SHORT.get(r["metric"], r["metric"])
+        summary[key] = r["value"]
+        summary[key + "_config"] = r["config"]
+        print(json.dumps(summary), flush=True)
 
     # --- image gen: reference xsmall tier (d768/12L), 16x16 latent grid ---
     b, gh, gw = 4, 16, 16
@@ -55,7 +73,7 @@ def main():
         out = run_img(i)
     jax.device_get(out)
     dt = (time.perf_counter() - t0) / 2
-    results.append({
+    record({
         "metric": "image_gen_tokens_per_sec_per_chip",
         "value": round(b * gh * gw / dt, 2),
         "unit": "image tokens/s/chip",
@@ -87,7 +105,7 @@ def main():
     jax.device_get(out)
     dt = time.perf_counter() - t0
     n_tokens = bv * frames * cfg_v.latent_height * cfg_v.latent_width
-    results.append({
+    record({
         "metric": "video_gen_tokens_per_sec_per_chip",
         "value": round(n_tokens / dt, 2),
         "unit": "video tokens/s/chip",
@@ -128,7 +146,7 @@ def main():
     jax.device_get(out)
     dt = time.perf_counter() - t0
     n_tokens = bm * (cfg_m.image_tokens + cfg_m.video_tokens)
-    results.append({
+    record({
         "metric": "multimodal_fused_paged_tokens_per_sec_per_chip",
         "value": round(n_tokens / dt, 2),
         "unit": "image+video tokens/s/chip",
@@ -139,8 +157,7 @@ def main():
         "vs_baseline": None,
     })
 
-    for r in results:
-        print(json.dumps(r))
+
 
 
 if __name__ == "__main__":
