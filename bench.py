@@ -19,11 +19,11 @@ Driver-safety structure (round-3 post-mortem: rc=124, nothing recorded):
   * a COMPLETE minimal JSON line is printed immediately after the headline
     measurement; every later stage re-prints an enriched line (the driver
     parses the LAST line, so partial progress is always recorded)
-  * a global wall-clock budget (env BENCH_BUDGET_S, default 1080 s) skips
+  * a global wall-clock budget (env BENCH_BUDGET_S, default 2400 s) skips
     remaining stages once exhausted — slow compiles degrade the record to
     "fewer secondaries", never to null
-  * subprocess stages are capped at min(480 s, remaining budget) and their
-    partial stdout is parsed even on timeout.
+  * subprocess stages are capped at min(480 s, remaining budget) (serving:
+    700 s) and their partial output FILE is parsed even on timeout.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
 reference implementation's own cached decode (torch) run on this host's CPU
