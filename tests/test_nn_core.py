@@ -301,3 +301,22 @@ def test_ffn_block_residual():
     out = block.apply(params, x)
     assert out.shape == x.shape
     assert not np.allclose(np.asarray(out), np.asarray(x))
+
+
+def test_select_attention_impl_seq_threshold():
+    """'auto' routes short static sequences to XLA (FLASH_MIN_SEQ_LEN):
+    the flash kernel loses at the ViT-3D factorized shapes (196/4 tokens)
+    and wins 5x+ at 4096 — tools/probe_vit3d_breakdown.py."""
+    from vats_tpu.nn.attention import FLASH_MIN_SEQ_LEN, select_attention_impl
+
+    # short sequences choose XLA regardless of backend
+    assert select_attention_impl(
+        "auto", head_dim=64, seq_len=FLASH_MIN_SEQ_LEN - 1
+    ) == "xla"
+    # explicit impls are never overridden
+    assert select_attention_impl(
+        "flash", head_dim=64, seq_len=4
+    ) == "flash"
+    assert select_attention_impl("xla", head_dim=64, seq_len=8192) == "xla"
+    # unknown seq_len keeps the backend-driven choice (xla on CPU tests)
+    assert select_attention_impl("auto", head_dim=64) in ("xla", "flash")
