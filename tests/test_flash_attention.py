@@ -204,3 +204,40 @@ def test_flash_segment_ids_gradients():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
         )
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_bwd_interior_block_fast_path(causal):
+    """Gradient parity on blocks that take the backward kernels' INTERIOR
+    fast path (p = exp(s - lse), no masking).
+
+    The other gradient tests run causal/windowed at T <= 48 with 16x16
+    blocks, where no block ever satisfies the interior predicate
+    (k_start + block_k - 1 <= q_start needs a full k block strictly below
+    the q block); a numerics bug in the unmasked branch would only show up
+    on hardware at T > block_k.  Here bwd_block_q=8 / bwd_block_k=64 at
+    T=256 forces many interior blocks (causal case), and the non-causal
+    no-window all-valid case makes EVERY block interior."""
+    b, t, d, hq, g = 1, 256, 32, 2, 1
+    q, k, v = make_qkv(11, b, t, t, hq, g, d)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss(fn, **kw):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v, scale=scale, causal=causal, **kw) ** 2)
+        return f
+
+    gf = jax.grad(
+        loss(
+            functools.partial(
+                flash_attention, interpret=True, block_q=64, block_k=64,
+                bwd_block_q=8, bwd_block_k=64,
+            )
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(loss(dot_product_attention), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
+        )

@@ -75,10 +75,14 @@ class SamplingParams:
     constructed with ``per_request_sampling=True``.
 
     temperature <= 0 means greedy; top_k == 0 means no explicit top-k (the
-    engine still bounds sampling to its static ``sampling_kmax`` subspace);
+    engine still bounds sampling to its static ``sampling_kmax`` subspace —
+    default 64: a temperature-only or top-p-only request draws from the
+    top-kmax logits, not the full vocab; raise the engine's
+    ``sampling_kmax`` if you need high-temperature full-support draws);
     top_p == 0 disables nucleus filtering.  ``seed`` makes the request's
     random stream reproducible regardless of batch composition or
-    preemption (draws are keyed by (seed, sequence position))."""
+    preemption (draws are keyed by (seed, sequence position); any int is
+    accepted and wrapped to uint32)."""
 
     temperature: float = 1.0
     top_k: int = 0
@@ -479,8 +483,11 @@ class ServingEngine:
             self.row_temp[row] = sp.temperature
             self.row_topk[row] = sp.top_k
             self.row_topp[row] = sp.top_p
+            # mask explicitly: NumPy >= 2.0 raises OverflowError on
+            # np.uint32(negative or >= 2**32) instead of wrapping
             self.row_seed[row] = np.uint32(
-                sp.seed if sp.seed is not None else (self._seed0 + req.rid)
+                (sp.seed if sp.seed is not None else (self._seed0 + req.rid))
+                & 0xFFFFFFFF
             )
             ready.append((row, req, cached_slots * self.page_size, keys))
 

@@ -596,7 +596,14 @@ def _flash_bwd_rule(
     # 0.85x for the old (512, 512) cap — small q blocks pipeline the
     # dKV kernel's inner accumulation loop, large k blocks keep the MXU fed
     block_q = bwd_block_q if bwd_block_q else min(block_q, 256)
-    block_k = bwd_block_k if bwd_block_k else min(max(block_k, 512), 1024)
+    if bwd_block_k:
+        block_k = bwd_block_k
+    elif block_k >= 512:
+        block_k = min(max(block_k, 512), 1024)
+    # else: the caller explicitly tuned the forward block below 512 (VMEM
+    # headroom at large head_dim) — respect it as an upper bound for the
+    # backward too, which keeps ~3x the forward's live VMEM per block;
+    # pass bwd_block_k to override
     block_q = -(-min(block_q, max(t, 8)) // 8) * 8
     block_k = -(-min(block_k, max(s, 8)) // NUM_LANES) * NUM_LANES
 
