@@ -438,8 +438,8 @@ class Attention(nn.Module):
         when configured AND running under a mesh with seq > 1.  Returns the
         [B, T, Hq, hd]-shaped output reshaped later by the caller, or None to
         fall through to the single-chip impls.  Packed sequences
-        (segment_ids) stay on the local path — per-segment masking does not
-        rotate with KV blocks."""
+        (segment_ids) ride the ring (ids rotate with their KV shard through
+        the flash kernel's segment masking); Ulysses still falls back."""
         if self.context_parallel == "none":
             return None
         from vats_tpu.parallel import ambient_mesh
@@ -447,10 +447,11 @@ class Attention(nn.Module):
         mesh = ambient_mesh()
         if mesh is None or mesh.shape.get("seq", 1) <= 1:
             return None
-        if segment_ids is not None:
+        if segment_ids is not None and self.context_parallel != "ring":
             _warn_cp_fallback(
-                "packed sequences (segment_ids) — per-segment masks do not "
-                "rotate with KV blocks; attention runs UNSHARDED over seq"
+                "packed sequences (segment_ids) — the Ulysses path has no "
+                "segment masking; attention runs UNSHARDED over seq "
+                "(use context_parallel='ring')"
             )
             return None
         if q.shape[1] % mesh.shape["seq"] != 0:
@@ -471,7 +472,8 @@ class Attention(nn.Module):
             return ring_attention(
                 q, k, v, mesh=mesh, scale=scale, causal=causal,
                 left_window=left_window, right_window=right_window,
-                kv_valid=kv_valid,
+                kv_valid=kv_valid, q_segment_ids=segment_ids,
+                kv_segment_ids=segment_ids,
             )
         if self.context_parallel == "ulysses":
             from vats_tpu.ops.ulysses import ulysses_attention

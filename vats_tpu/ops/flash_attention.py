@@ -85,6 +85,7 @@ def _fwd_kernel(
     kv_len: int,
     mask_value: float,
     use_segids: bool,
+    q_pos_offset: int = 0,
 ):
     b_idx = pl.program_id(0)
     q_blk = pl.program_id(2)
@@ -97,7 +98,11 @@ def _fwd_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    q_start = q_blk * block_q
+    # q_pos_offset: absolute position of this shard's first query RELATIVE
+    # to the KV block's first position — ring attention calls the kernel
+    # per KV shard with a static per-hop offset so causal/window masking
+    # (and the interior fast path) see absolute positions
+    q_start = q_blk * block_q + q_pos_offset
     k_start = kv_blk * block_k
 
     # whole-block skip: causal (block fully above diagonal) and window
@@ -237,6 +242,7 @@ def _bwd_dkv_kernel(
     mask_value: float,
     use_segids: bool,
     ratio: int,
+    q_pos_offset: int = 0,
 ):
     """Accumulate dK/dV for one KV block across all (q_head_in_group, q_block)
     pairs (innermost axis), so the output is per KV *group* [B, G, S, d] —
@@ -253,7 +259,7 @@ def _bwd_dkv_kernel(
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q_start = q_blk * block_q
+    q_start = q_blk * block_q + q_pos_offset
     k_start = kv_blk * block_k
     run = True
     if causal:
@@ -349,6 +355,7 @@ def _bwd_dq_kernel(
     block_k: int,
     mask_value: float,
     use_segids: bool,
+    q_pos_offset: int = 0,
 ):
     """Accumulate dQ for one Q block across all KV blocks (innermost)."""
     b_idx = pl.program_id(0)
@@ -360,7 +367,7 @@ def _bwd_dq_kernel(
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    q_start = q_blk * block_q
+    q_start = q_blk * block_q + q_pos_offset
     k_start = kv_blk * block_k
     run = True
     if causal:
@@ -441,7 +448,7 @@ def _pad_to(x, size, axis, value=0):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 )
 def _flash_attention(
     q,
@@ -460,16 +467,19 @@ def _flash_attention(
     use_segids,
     bwd_block_q,
     bwd_block_k,
+    q_pos_offset,
 ):
     return _flash_forward(
         q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
         right_window, block_q, block_k, interpret, use_segids,
+        q_pos_offset=q_pos_offset,
     )
 
 
 def _flash_forward(
     q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
     right_window, block_q, block_k, interpret, use_segids, return_lse=False,
+    q_pos_offset=0,
 ):
     """q: [B, Hq, T, D]; k/v: [B, G, S, D]; kv_valid: [B, S] int32;
     q_seg: [B, T] / kv_seg: [B, S] int32 segment ids (packed sequences)."""
@@ -499,6 +509,7 @@ def _flash_forward(
         kv_len=s,
         mask_value=DEFAULT_MASK_VALUE,
         use_segids=use_segids,
+        q_pos_offset=q_pos_offset,
     )
     kernel = functools.partial(
         _fwd_kernel_lse if return_lse else _fwd_kernel, **kw
@@ -564,54 +575,43 @@ def _flash_forward(
 def _flash_fwd_rule(
     q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
     right_window, block_q, block_k, interpret, use_segids,
-    bwd_block_q, bwd_block_k,
+    bwd_block_q, bwd_block_k, q_pos_offset,
 ):
     o, lse = _flash_forward(
         q, k, v, kv_valid, q_seg, kv_seg, scale, causal, left_window,
         right_window, block_q, block_k, interpret, use_segids,
-        return_lse=True,
+        return_lse=True, q_pos_offset=q_pos_offset,
     )
     return o, (q, k, v, kv_valid, q_seg, kv_seg, o, lse)
 
 
-def _flash_bwd_rule(
-    scale, causal, left_window, right_window, block_q, block_k, interpret,
-    use_segids, bwd_block_q, bwd_block_k, residuals, do,
+def _flash_bwd_kernels(
+    q, k, v, do, lse2d, di2d, kv_valid, q_seg, kv_seg, *,
+    scale, causal, left_window, right_window, block_q, block_k,
+    interpret, use_segids, q_pos_offset=0,
 ):
-    """Fused Pallas backward: separate dK/dV and dQ kernels sharing the
-    forward's masking and block-skip structure.  The [T, S] probability
-    matrix is never materialized; softmax is reconstructed per tile from the
-    saved logsumexp, and di = sum(do*o) is shared by both kernels (guide's
-    flash-backward recipe)."""
-    q, k, v, kv_valid, q_seg, kv_seg, o, lse = residuals
+    """Run the two Pallas backward kernels (dK/dV per KV group, dQ).
+
+    q/do: [B, Hq, T, D]; k/v: [B, G, S, D]; lse2d/di2d: [B, Hq, T] fp32 —
+    the TRUE row logsumexp and di = sum(do*o).  Callable with a lse/di
+    computed over MORE than this (q, k) pair (ring attention passes the
+    globally-merged statistics, making each per-shard call produce that
+    shard's exact slice of the global gradient).  block_q/block_k here are
+    the final backward blocks (caller applies defaults).  Returns fp32
+    (dq, dk, dv) at the padded-free shapes."""
     b, hq, t, d = q.shape
     g, s = k.shape[1], k.shape[2]
     ratio = hq // g
 
-    # the backward kernels keep ~3x the forward's live VMEM (q/do/k/v blocks
-    # + two fp32 [bq, bk] intermediates); their blocks are tunable
-    # independently of the forward's.  Defaults from the
-    # tools/probe_flash_bwd.py sweep on a v5e (B=2, T=4096, causal, hd64):
-    # (bq=256, bk=1024) runs the fwd+bwd pair at 2.14x the XLA path, vs
-    # 0.85x for the old (512, 512) cap — small q blocks pipeline the
-    # dKV kernel's inner accumulation loop, large k blocks keep the MXU fed
-    block_q = bwd_block_q if bwd_block_q else min(block_q, 256)
-    if bwd_block_k:
-        block_k = bwd_block_k
-    elif block_k >= 512:
-        block_k = min(max(block_k, 512), 1024)
-    # else: the caller explicitly tuned the forward block below 512 (VMEM
-    # headroom at large head_dim) — respect it as an upper bound for the
-    # backward too, which keeps ~3x the forward's live VMEM per block;
-    # pass bwd_block_k to override
     block_q = -(-min(block_q, max(t, 8)) // 8) * 8
     block_k = -(-min(block_k, max(s, 8)) // NUM_LANES) * NUM_LANES
 
     t_pad = max(block_q, ((t + block_q - 1) // block_q) * block_q)
     s_pad = max(block_k, ((s + block_k - 1) // block_k) * block_k)
-    # lse was stored at the FORWARD's t_pad granularity; re-pad to ours.
     # Pad rows are harmless: their do rows are zero, so p^T@do and ds are 0.
-    lse = _pad_to(lse[:, :, :, :t], t_pad, 3)
+    lse = jnp.broadcast_to(
+        _pad_to(lse2d, t_pad, 2)[:, :, None, :], (b, hq, 8, t_pad)
+    )
     qp = _pad_to(q, t_pad, 2)
     dop = _pad_to(do, t_pad, 2)
     kp = _pad_to(k, s_pad, 2)
@@ -620,17 +620,14 @@ def _flash_bwd_rule(
     qsegp = _pad_to(q_seg.astype(jnp.int32), t_pad, 1, value=-1)
     ksegp = _pad_to(kv_seg.astype(jnp.int32), s_pad, 1, value=-2)
 
-    di = jnp.sum(
-        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    )  # [B, Hq, T]
-    di = _pad_to(di, t_pad, 2)
+    di = _pad_to(di2d, t_pad, 2)
     di8 = jnp.broadcast_to(di[:, :, None, :], (b, hq, 8, t_pad))
-    # lse comes back from the forward already [B, Hq, 8, T_pad]
 
     kw = dict(
         scale=scale, causal=causal, left_window=left_window,
         right_window=right_window, block_q=block_q, block_k=block_k,
         mask_value=DEFAULT_MASK_VALUE, use_segids=use_segids,
+        q_pos_offset=q_pos_offset,
     )
     # dKV grid: (batch, kv_group, kv_block, q_head_in_group × q_block).
     # The innermost axis walks every query head of the group and every q
@@ -704,9 +701,55 @@ def _flash_bwd_rule(
         interpret=interpret,
     )(qp, dop, kp, vp, lse, di8, validp, qsegp, ksegp)
 
-    dq = dq[:, :, :t]
-    dk = dk[:, :, :s]
-    dv = dv[:, :, :s]
+    return dq[:, :, :t], dk[:, :, :s], dv[:, :, :s]
+
+
+def bwd_block_defaults(block_q, block_k, bwd_block_q, bwd_block_k):
+    """Backward block-size policy (shared by the custom VJP and the ring
+    backward).  The backward kernels keep ~3x the forward\'s live VMEM
+    (q/do/k/v blocks + two fp32 [bq, bk] intermediates); their blocks are
+    tunable independently of the forward\'s.  Defaults from the
+    tools/probe_flash_bwd.py sweep on a v5e (B=2, T=4096, causal, hd64):
+    (bq=256, bk=1024) runs the fwd+bwd pair at 2.14x the XLA path, vs
+    0.85x for the old (512, 512) cap — small q blocks pipeline the
+    dKV kernel\'s inner accumulation loop, large k blocks keep the MXU
+    fed."""
+    block_q = bwd_block_q if bwd_block_q else min(block_q, 256)
+    if bwd_block_k:
+        block_k = bwd_block_k
+    elif block_k >= 512:
+        block_k = min(max(block_k, 512), 1024)
+    # else: the caller explicitly tuned the forward block below 512 (VMEM
+    # headroom at large head_dim) — respect it as an upper bound for the
+    # backward too; pass bwd_block_k to override
+    return block_q, block_k
+
+
+def _flash_bwd_rule(
+    scale, causal, left_window, right_window, block_q, block_k, interpret,
+    use_segids, bwd_block_q, bwd_block_k, q_pos_offset, residuals, do,
+):
+    """Fused Pallas backward: separate dK/dV and dQ kernels sharing the
+    forward\'s masking and block-skip structure.  The [T, S] probability
+    matrix is never materialized; softmax is reconstructed per tile from the
+    saved logsumexp, and di = sum(do*o) is shared by both kernels (guide\'s
+    flash-backward recipe)."""
+    q, k, v, kv_valid, q_seg, kv_seg, o, lse = residuals
+    t = q.shape[2]
+    block_q, block_k = bwd_block_defaults(
+        block_q, block_k, bwd_block_q, bwd_block_k
+    )
+    di2d = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # [B, Hq, T]
+    # lse comes back from the forward [B, Hq, 8, T_pad] (sublane-replicated)
+    dq, dk, dv = _flash_bwd_kernels(
+        q, k, v, do, lse[:, :, 0, :t], di2d, kv_valid, q_seg, kv_seg,
+        scale=scale, causal=causal, left_window=left_window,
+        right_window=right_window, block_q=block_q, block_k=block_k,
+        interpret=interpret, use_segids=use_segids,
+        q_pos_offset=q_pos_offset,
+    )
     return (
         dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
         None, None, None,
@@ -742,12 +785,17 @@ def flash_attention(
     bwd_block_q: Optional[int] = None,
     bwd_block_k: Optional[int] = None,
     interpret: bool = False,
+    q_pos_offset: int = 0,
 ) -> jnp.ndarray:
     """Public API matching ops.dot_product_attention layouts.
 
     q: [B, T, Hq, D]; k, v: [B, S, G, D]; kv_valid: [B, S] bool (True=valid);
     q_segment_ids [B, T] / kv_segment_ids [B, S] int (packed sequences —
     tokens attend only within matching segment ids).
+    ``q_pos_offset`` shifts every query's absolute position by a static
+    amount relative to the KV positions — ring attention (context
+    parallelism) uses it to run causal/window masking per rotating KV
+    shard with the kernel's block-skip/interior structure intact.
     Returns [B, T, Hq, D] in q.dtype.
     """
     b, t, hq, d = q.shape
@@ -783,6 +831,7 @@ def flash_attention(
         int(block_q), int(block_k), bool(interpret), use_segids,
         int(bwd_block_q) if bwd_block_q else 0,
         int(bwd_block_k) if bwd_block_k else 0,
+        int(q_pos_offset),
     )
     if d_tgt != d:
         out = out[..., :d]

@@ -95,7 +95,7 @@ def _tile_update(q_c, k_c, v_c, scale, q_pos_c, k_pos_c, causal, left_window,
     return m_new, l_new, o_new
 
 
-def ring_attention(
+def _ring_attention_xla(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
@@ -241,3 +241,372 @@ def ring_attention(
             out_specs=qspec, check_rep=False,
         )
     return mapped(q, k, v, kv_valid)
+
+
+# --------------------------------------------------------------------------
+# Ring-flash: the ppermute rotation stays in XLA; every local tile compute
+# runs through the Pallas flash kernel (ops/flash_attention.py) with a
+# STATIC per-hop ``q_pos_offset`` into the kernel's causal/window masking.
+#
+# The per-hop offset is static because the ring is unrolled: at hop i a
+# device holds the KV shard from ``(idx - i) % n_seq``, so the query-vs-key
+# absolute offset is ``i * t_local`` for the un-wrapped devices and
+# ``(i - n_seq) * t_local`` for the wrapped ones — two compile-time
+# constants selected by one scalar ``lax.cond`` (wrapped shards are
+# entirely in the future, so under causal masking the wrapped branch is
+# statically dead and the cond degenerates to a skip).
+#
+# Per-hop partial results merge by the standard (o, lse) log-sum-exp
+# combine; the backward is the ring-flash backward proper: the SAME Pallas
+# backward kernels run per hop against the globally-merged (lse, di)
+# statistics — each hop then yields exactly that KV shard's slice of the
+# global gradient — with dK/dV accumulators rotating alongside their KV
+# shard and one final ppermute sending them home.
+# --------------------------------------------------------------------------
+
+import dataclasses
+import functools
+
+from vats_tpu.ops.flash_attention import (
+    NUM_LANES,
+    _flash_bwd_kernels,
+    _flash_forward,
+    bwd_block_defaults,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class _RingCfg:
+    axis_name: str
+    n_seq: int
+    t_local: int
+    scale: float
+    causal: bool
+    left_window: int
+    right_window: int
+    block_q: int
+    block_k: int
+    bwd_block_q: int
+    bwd_block_k: int
+    interpret: bool
+    use_segids: bool
+
+
+def _ring_steps(cfg: _RingCfg):
+    """Static per-hop plan: list of (past_alive, future_alive).
+
+    ``past``  = un-wrapped sources (idx >= i), offset  i * t_local >= 0;
+    ``future``= wrapped sources   (idx <  i), offset (i - n) * t_local < 0.
+    A branch is dead when the whole shard lies outside the causal/window
+    bounds for every local query — those hops never touch the kernel."""
+    tl, n = cfg.t_local, cfg.n_seq
+    plan = []
+    for i in range(n):
+        past = True
+        if i > 0 and cfg.left_window >= 0 and i * tl - (tl - 1) > cfg.left_window:
+            past = False
+        future = i > 0 and not cfg.causal
+        if future and cfg.right_window >= 0 and (n - i) * tl - (tl - 1) > cfg.right_window:
+            future = False
+        plan.append((past, future))
+    while plan and plan[-1] == (False, False):
+        plan.pop()
+    return plan
+
+
+def _merge(o, lse, o_i, lse_i):
+    """Combine normalized per-hop outputs via their logsumexps (fp32)."""
+    # the kernel stores a 1e30 sentinel for zero-mass rows; treat as -inf
+    lse_i = jnp.where(lse_i > 1e29, -jnp.inf, lse_i)
+    m = jnp.maximum(lse, lse_i)
+    finite = m > -jnp.inf
+    m_safe = jnp.where(finite, m, 0.0)
+    a = jnp.where(finite, jnp.exp(lse - m_safe), 0.0)
+    b = jnp.where(finite, jnp.exp(lse_i - m_safe), 0.0)
+    # floor well above FLT_MIN: subnormals flush to zero on TPU/XLA-CPU,
+    # and a+b == 0 exactly on fully-masked rows (0/0 -> NaN otherwise)
+    denom = jnp.maximum(a + b, 1e-30)
+    o_new = (
+        o * (a / denom)[..., None]
+        + o_i.astype(jnp.float32) * (b / denom)[..., None]
+    )
+    lse_new = jnp.where(finite, m_safe + jnp.log(a + b), -jnp.inf)
+    return o_new, lse_new
+
+
+def _fwd_clamp_blocks(cfg: _RingCfg):
+    tl = cfg.t_local
+    bq = -(-min(cfg.block_q, max(tl, 8)) // 8) * 8
+    bk = -(-min(cfg.block_k, max(tl, 8)) // NUM_LANES) * NUM_LANES
+    return bq, bk
+
+
+def _ring_flash_fwd_impl(q, k, v, valid, qseg, kseg, cfg: _RingCfg):
+    """q: [B, Hq, tl, D]; k/v: [B, G, tl, D]; valid/qseg/kseg: [B, tl].
+    Returns (out [B, Hq, tl, D] q.dtype, lse [B, Hq, tl] fp32)."""
+    idx = jax.lax.axis_index(cfg.axis_name)
+    b, hq, tl, d = q.shape
+    bq, bk = _fwd_clamp_blocks(cfg)
+    plan = _ring_steps(cfg)
+    perm = [(s, (s + 1) % cfg.n_seq) for s in range(cfg.n_seq)]
+
+    o = jnp.zeros((b, hq, tl, d), jnp.float32)
+    lse = jnp.full((b, hq, tl), -jnp.inf, jnp.float32)
+    blk = (k, v, valid, kseg)
+
+    for i, (past, future) in enumerate(plan):
+        k_i, v_i, valid_i, kseg_i = blk
+
+        def compute(offset, k_i=k_i, v_i=v_i, valid_i=valid_i, kseg_i=kseg_i):
+            o_i, lse8 = _flash_forward(
+                q, k_i, v_i, valid_i, qseg, kseg_i, cfg.scale, cfg.causal,
+                cfg.left_window, cfg.right_window, bq, bk, cfg.interpret,
+                cfg.use_segids, return_lse=True, q_pos_offset=offset,
+            )
+            return o_i, lse8[:, :, 0, :tl]
+
+        def dead():
+            return (
+                jnp.zeros((b, hq, tl, d), q.dtype),
+                jnp.full((b, hq, tl), 1e30, jnp.float32),
+            )
+
+        if i == 0:
+            o_i, lse_i = compute(0)
+        elif past and future:
+            o_i, lse_i = jax.lax.cond(
+                idx >= i,
+                functools.partial(compute, i * tl),
+                functools.partial(compute, (i - cfg.n_seq) * tl),
+            )
+        elif past:
+            o_i, lse_i = jax.lax.cond(
+                idx >= i, functools.partial(compute, i * tl), dead
+            )
+        elif future:
+            o_i, lse_i = jax.lax.cond(
+                idx < i,
+                functools.partial(compute, (i - cfg.n_seq) * tl),
+                dead,
+            )
+        else:  # rotation-only hop (a later hop still needs the shard)
+            o_i = None
+        if o_i is not None:
+            o, lse = _merge(o, lse, o_i, lse_i)
+        if i < len(plan) - 1:
+            blk = tuple(
+                jax.lax.ppermute(x, cfg.axis_name, perm) for x in blk
+            )
+
+    return o.astype(q.dtype), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _ring_flash(q, k, v, valid, qseg, kseg, cfg):
+    out, _ = _ring_flash_fwd_impl(q, k, v, valid, qseg, kseg, cfg)
+    return out
+
+
+def _ring_flash_fwd(q, k, v, valid, qseg, kseg, cfg):
+    out, lse = _ring_flash_fwd_impl(q, k, v, valid, qseg, kseg, cfg)
+    return out, (q, k, v, valid, qseg, kseg, out, lse)
+
+
+def _ring_flash_bwd(cfg: _RingCfg, res, do):
+    q, k, v, valid, qseg, kseg, out, lse = res
+    idx = jax.lax.axis_index(cfg.axis_name)
+    b, hq, tl, d = q.shape
+    g = k.shape[1]
+    bq, bk = _fwd_clamp_blocks(cfg)
+    bwd_bq, bwd_bk = bwd_block_defaults(
+        bq, bk, cfg.bwd_block_q, cfg.bwd_block_k
+    )
+    plan = _ring_steps(cfg)
+    perm = [(s, (s + 1) % cfg.n_seq) for s in range(cfg.n_seq)]
+
+    # globally-merged row statistics: rows with no mass anywhere get a +big
+    # sentinel so every per-hop p = exp(s - lse) underflows to zero
+    lse_safe = jnp.where(jnp.isfinite(lse), lse, 1e30)
+    di = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [B, Hq, tl]
+
+    dq = jnp.zeros((b, hq, tl, d), jnp.float32)
+    dk_t = jnp.zeros((b, g, tl, d), jnp.float32)  # travels with its shard
+    dv_t = jnp.zeros((b, g, tl, d), jnp.float32)
+    blk = (k, v, valid, kseg, dk_t, dv_t)
+
+    for i, (past, future) in enumerate(plan):
+        k_i, v_i, valid_i, kseg_i, dk_i, dv_i = blk
+
+        def grads(offset, k_i=k_i, v_i=v_i, valid_i=valid_i, kseg_i=kseg_i):
+            return _flash_bwd_kernels(
+                q, k_i, v_i, do, lse_safe, di, valid_i, qseg, kseg_i,
+                scale=cfg.scale, causal=cfg.causal,
+                left_window=cfg.left_window, right_window=cfg.right_window,
+                block_q=bwd_bq, block_k=bwd_bk, interpret=cfg.interpret,
+                use_segids=cfg.use_segids, q_pos_offset=offset,
+            )
+
+        def dead():
+            return (
+                jnp.zeros((b, hq, tl, d), jnp.float32),
+                jnp.zeros((b, g, tl, d), jnp.float32),
+                jnp.zeros((b, g, tl, d), jnp.float32),
+            )
+
+        if i == 0:
+            dq_i, dk_c, dv_c = grads(0)
+        elif past and future:
+            dq_i, dk_c, dv_c = jax.lax.cond(
+                idx >= i,
+                functools.partial(grads, i * tl),
+                functools.partial(grads, (i - cfg.n_seq) * tl),
+            )
+        elif past:
+            dq_i, dk_c, dv_c = jax.lax.cond(
+                idx >= i, functools.partial(grads, i * tl), dead
+            )
+        elif future:
+            dq_i, dk_c, dv_c = jax.lax.cond(
+                idx < i,
+                functools.partial(grads, (i - cfg.n_seq) * tl),
+                dead,
+            )
+        else:
+            dq_i = None
+        if dq_i is not None:
+            dq = dq + dq_i
+            dk_i = dk_i + dk_c
+            dv_i = dv_i + dv_c
+        blk = (k_i, v_i, valid_i, kseg_i, dk_i, dv_i)
+        if i < len(plan) - 1:
+            blk = tuple(
+                jax.lax.ppermute(x, cfg.axis_name, perm) for x in blk
+            )
+
+    # after len(plan)-1 hops a shard's grads sit len(plan)-1 devices ahead
+    # of home; one distance-(len(plan)-1) ppermute returns them
+    hops = len(plan) - 1
+    dk_t, dv_t = blk[4], blk[5]
+    if hops:
+        home = [(s, (s - hops) % cfg.n_seq) for s in range(cfg.n_seq)]
+        dk_t = jax.lax.ppermute(dk_t, cfg.axis_name, home)
+        dv_t = jax.lax.ppermute(dv_t, cfg.axis_name, home)
+
+    return (
+        dq.astype(q.dtype), dk_t.astype(k.dtype), dv_t.astype(v.dtype),
+        None, None, None,
+    )
+
+
+_ring_flash.defvjp(_ring_flash_fwd, _ring_flash_bwd)
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    scale: float,
+    causal: bool = True,
+    left_window: int = -1,
+    right_window: int = -1,
+    kv_valid: Optional[jnp.ndarray] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    axis_name: str = "seq",
+    batch_axes: tuple = ("data", "fsdp"),
+    q_chunk: int = 512,
+    k_chunk: int = 512,
+    impl: str = "flash",
+    block_q: int = 1024,
+    block_k: int = 1024,
+    bwd_block_q: int = 0,
+    bwd_block_k: int = 0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Context-parallel attention (see module docstring).
+
+    q: [B, T, Hq, hd]; k/v: [B, T, G, hd], all sharded on T over
+    ``axis_name`` (and on B over ``batch_axes``).  kv_valid: optional [B, T]
+    bool padding mask (True = real token); segment ids: optional [B, T] int
+    packed-sequence ids — both sharded like k on T and rotated around the
+    ring with their KV shard.  Returns [B, T, Hq, hd], same sharding.
+
+    impl="flash" (default) runs every local tile through the Pallas flash
+    kernel (SURVEY §5's ring-flash kernel; interpret mode auto-selected off
+    TPU); impl="xla" is the blockwise XLA fallback (no segment-id support).
+    """
+    if impl == "xla":
+        if q_segment_ids is not None or kv_segment_ids is not None:
+            raise NotImplementedError(
+                "segment ids need impl='flash' (masks rotate with KV shards)"
+            )
+        return _ring_attention_xla(
+            q, k, v, mesh=mesh, scale=scale, causal=causal,
+            left_window=left_window, right_window=right_window,
+            kv_valid=kv_valid, axis_name=axis_name, batch_axes=batch_axes,
+            q_chunk=q_chunk, k_chunk=k_chunk,
+        )
+    if impl != "flash":
+        raise ValueError(f"unknown ring impl: {impl!r}")
+
+    n_seq = mesh.shape[axis_name]
+    b, t, hq, hd = q.shape
+    g = k.shape[2]
+    if t % n_seq != 0:
+        raise ValueError(f"T={t} not divisible by seq shards {n_seq}")
+    t_local = t // n_seq
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    use_segids = q_segment_ids is not None or kv_segment_ids is not None
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, t), dtype=bool)
+    if q_segment_ids is None:
+        q_segment_ids = jnp.zeros((b, t), dtype=jnp.int32)
+    if kv_segment_ids is None:
+        kv_segment_ids = jnp.zeros((b, t), dtype=jnp.int32)
+
+    cfg = _RingCfg(
+        axis_name=axis_name, n_seq=n_seq, t_local=t_local, scale=float(scale),
+        causal=bool(causal), left_window=int(left_window),
+        right_window=int(right_window), block_q=int(block_q),
+        block_k=int(block_k), bwd_block_q=int(bwd_block_q),
+        bwd_block_k=int(bwd_block_k), interpret=bool(interpret),
+        use_segids=use_segids,
+    )
+
+    # head-dim pad to the 8-sublane granule once, outside the ring (exact:
+    # zero K columns don't change scores, zero V columns slice away)
+    d_tgt = -(-hd // 8) * 8
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    if d_tgt != hd:
+        pad = [(0, 0), (0, 0), (0, 0), (0, d_tgt - hd)]
+        qt, kt, vt = (jnp.pad(x, pad) for x in (qt, kt, vt))
+
+    def local_fn(q_l, k_l, v_l, valid_l, qseg_l, kseg_l):
+        return _ring_flash(
+            q_l, k_l, v_l, valid_l.astype(jnp.int32),
+            qseg_l.astype(jnp.int32), kseg_l.astype(jnp.int32), cfg,
+        )
+
+    bspec = batch_axes if any(mesh.shape.get(a, 1) > 1 for a in batch_axes) else None
+    hspec = P(bspec, None, axis_name, None)
+    mspec = P(bspec, axis_name)
+    kw = dict(
+        mesh=mesh,
+        in_specs=(hspec, hspec, hspec, mspec, mspec, mspec),
+        out_specs=hspec,
+    )
+    try:  # jax >= 0.8 renamed check_rep -> check_vma
+        mapped = shard_map(local_fn, check_vma=False, **kw)
+    except TypeError:
+        mapped = shard_map(local_fn, check_rep=False, **kw)
+    out = mapped(qt, kt, vt, kv_valid, q_segment_ids, kv_segment_ids)
+    if d_tgt != hd:
+        out = out[..., :hd]
+    return jnp.transpose(out, (0, 2, 1, 3))
