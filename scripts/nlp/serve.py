@@ -51,6 +51,9 @@ def main():
     p.add_argument("--shared-prefix-len", type=int, default=0,
                    help="prepend this many identical tokens to every "
                         "prompt (models a common system prompt)")
+    p.add_argument("--overlap-scheduling", action="store_true",
+                   help="pipeline host scheduling behind device decode "
+                        "blocks (dispatch block N+1 before fetching N)")
     p.add_argument("--per-request-sampling", action="store_true",
                    help="each request carries its own SamplingParams "
                         "(demo: alternating greedy / temperature+top-k "
@@ -103,6 +106,7 @@ def main():
         prefix_caching=args.prefix_caching,
         spec_k=args.spec_k,
         per_request_sampling=args.per_request_sampling,
+        overlap_scheduling=args.overlap_scheduling,
     )
 
     rng = np.random.default_rng(args.seed)

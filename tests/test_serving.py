@@ -436,3 +436,75 @@ def test_per_request_sampling_defaults_and_validation():
             model, params, max_batch=1, max_context=256, spec_k=2,
             per_request_sampling=True,
         )
+
+
+# ---------------- overlapped (pipelined) host scheduling ----------------
+
+
+def test_overlap_scheduling_bitexact_greedy():
+    """overlap_scheduling pipelines block N+1's dispatch ahead of block N's
+    fetch; every request must still reproduce its solo generate_paged
+    tokens exactly — across mixed budgets, EOS mid-block, retirement and
+    re-admission into freed rows."""
+    model, params = _model_and_params()
+    toks = _oracle(model, params, PROMPTS[0], 9)
+    eos = toks[5]
+    outs = {}
+    for overlap in (False, True):
+        eng = ServingEngine(
+            model, params, max_batch=2, max_context=256, eos_token_id=eos,
+            decode_block_steps=4, overlap_scheduling=overlap,
+        )
+        for i, p in enumerate(PROMPTS):
+            eng.submit(p, max_new_tokens=7 + i)
+        outs[overlap] = eng.run()
+        assert eng.allocator.num_used == 0
+        assert eng._inflight is None or not overlap
+    assert outs[False] == outs[True]
+    # and the overlapped outputs equal each request's solo oracle
+    # (truncated at the first EOS occurrence, like the engine stops)
+    for i, p in enumerate(PROMPTS):
+        want = [int(t) for t in _oracle(model, params, p, 7 + i)]
+        if eos in want:
+            want = want[: want.index(eos) + 1]
+        assert outs[True][i] == want
+
+
+def test_overlap_scheduling_seeded_sampling_reproducible():
+    """Seeded per-request rows draw by (seed, position): the pipelined
+    engine must produce the same streams as the sequential one."""
+    from vats_tpu.inference.serving import SamplingParams
+
+    model, params = _model_and_params()
+    outs = {}
+    for overlap in (False, True):
+        eng = ServingEngine(
+            model, params, max_batch=2, max_context=256,
+            decode_block_steps=4, per_request_sampling=True,
+            overlap_scheduling=overlap,
+        )
+        for i, p in enumerate(PROMPTS):
+            eng.submit(
+                p, max_new_tokens=9,
+                sampling=SamplingParams(temperature=0.8, top_k=20, seed=100 + i),
+            )
+        outs[overlap] = eng.run()
+    assert outs[False] == outs[True]
+
+
+def test_overlap_scheduling_preemption_parity():
+    """Pool pressure mid-pipeline: preemption + requeue must still
+    reproduce greedy solo outputs (the in-flight block keeps decoding the
+    victim's stale lane; its results are dropped by request identity)."""
+    model, params = _model_and_params()
+    eng = ServingEngine(
+        model, params, max_batch=3, max_context=256, total_pages=5,
+        decode_block_steps=2, overlap_scheduling=True,
+    )
+    rids = {}
+    for p in PROMPTS[:4]:
+        rids[eng.submit(p, max_new_tokens=40)] = p
+    outs = eng.run()
+    assert eng.allocator.num_used == 0
+    for rid, p in rids.items():
+        assert outs[rid] == _oracle(model, params, p, 40)

@@ -113,7 +113,11 @@ def main():
 
     sp = SamplingParams(temperature=0.8, top_k=50, seed=7)
 
-    eng = make_engine(prefix_caching=True, per_request_sampling=True)
+    # overlap_scheduling: block N+1 dispatches before block N's fetch, so
+    # the ~60-100 ms relay round-trip + host scheduling hide behind device
+    # compute (VERDICT r4 next-step #6)
+    eng = make_engine(prefix_caching=True, per_request_sampling=True,
+                      overlap_scheduling=True)
 
     # ---- warmup: compile each scenario's programs just before it runs, so
     # an expired budget still records the earlier scenarios (cold compiles

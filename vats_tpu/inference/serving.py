@@ -265,6 +265,7 @@ class ServingEngine:
         spec_ngram: int = 3,
         per_request_sampling: bool = False,
         sampling_kmax: int = 64,
+        overlap_scheduling: bool = False,
     ):
         from vats_tpu.models.text_lm import resolve_dtype
         from vats_tpu.ops.decode_attention import PagedKVCache
@@ -351,6 +352,15 @@ class ServingEngine:
                     "spec_k verification is greedy-only; per-request "
                     "sampling is not supported with speculative decoding"
                 )
+        if overlap_scheduling and spec_k:
+            raise ValueError(
+                "overlap_scheduling pipelines plain decode blocks; "
+                "speculative decoding drives its own loop"
+            )
+        self.overlap_scheduling = overlap_scheduling
+        #: the dispatched-but-unprocessed decode block (overlap mode):
+        #: {'out': device [B, k], 'k': int, 'rows': [(row, req), ...]}
+        self._inflight = None
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
         self.spec_proposed = 0
@@ -398,21 +408,43 @@ class ServingEngine:
         """Drive until every submitted request completes; returns
         {rid: generated token ids}."""
         finished: Dict[int, List[int]] = {}
-        while self.queue or any(r is not None for r in self.row_request):
+        while (self.queue or any(r is not None for r in self.row_request)
+               or self._inflight is not None):
             for req in self.step():
                 finished[req.rid] = req.output_ids
         return finished
 
     def step(self) -> List[Request]:
-        """Admit what fits, run one decode step, retire finished rows."""
+        """Admit what fits, run one decode step, retire finished rows.
+
+        With ``overlap_scheduling`` the call is PIPELINED: it dispatches the
+        next decode block (chained on the device to the previous block's
+        final tokens) BEFORE fetching the previous block's results, so host
+        scheduling — commits, EOS checks, retirement, admission prefill
+        dispatch — and the host<->device round trip hide behind device
+        compute.  Correctness leans on the device executing programs in
+        dispatch order: any page freed/reallocated on the host is only
+        WRITTEN by later-dispatched programs, which run after every program
+        whose page table still references it."""
         self._admit()
-        if not any(r is not None for r in self.row_request):
-            return []
-        if self.spec_k:
-            self._spec_step()
-        else:
-            self._decode_step()
-        return self._retire()
+        if self.spec_k or not self.overlap_scheduling:
+            if not any(r is not None for r in self.row_request):
+                return []
+            if self.spec_k:
+                self._spec_step()
+            else:
+                self._decode_step()
+            return self._retire()
+
+        new_block = None
+        if any(r is not None and not r.done for r in self.row_request):
+            new_block = self._dispatch_block(chained=self._inflight)
+        retired: List[Request] = []
+        if self._inflight is not None:
+            self._process_block(self._inflight)
+            retired = self._retire()
+        self._inflight = new_block
+        return retired
 
     # ---------------- internals ----------------
 
@@ -608,18 +640,21 @@ class ServingEngine:
 
         return sample_logits(rng, logits, **self._sample_kw)
 
-    def _ensure_pages(self, lookahead: int = 1) -> None:
+    def _ensure_pages(self, lookahead: int = 1, lengths=None) -> None:
         """Every active row needs pages mapped for the next ``lookahead``
         positions before the decode block commits there.  When the pool is
         exhausted mid-flight, the youngest row is PREEMPTED — requeued as a
         continuation whose prompt is (original prompt + tokens so far) — and
         its pages freed, vLLM-style (with greedy decoding the continuation
         reproduces the un-preempted tokens exactly; sampled mode resumes a
-        valid stream)."""
+        valid stream).  ``lengths`` overrides self.lengths (overlap mode
+        passes lengths advanced by the still-in-flight block)."""
+        if lengths is None:
+            lengths = self.lengths
         for row, req in enumerate(self.row_request):
             if req is None or req.done:
                 continue
-            slot = (int(self.lengths[row]) + lookahead - 1) // self.page_size
+            slot = (int(lengths[row]) + lookahead - 1) // self.page_size
             while slot >= len(self.row_pages[row]):
                 if self.allocator.num_free == 0:
                     self._reclaim(1)  # evict idle cached pages before anyone
@@ -748,36 +783,71 @@ class ServingEngine:
             self._jit_decode[k] = jax.jit(decode_fn, donate_argnums=(1, 2))
         return self._jit_decode[k]
 
-    def _decode_step(self) -> None:
+    def _dispatch_block(self, chained=None):
+        """Dispatch one k-step decode block; returns it unfetched.
+
+        ``chained`` is the still-in-flight previous block: lengths are
+        advanced optimistically by its k for the rows it decodes (their
+        device-side cache.lengths advance exactly so), and the input tokens
+        come from ITS device-resident final column — no host round trip on
+        the critical path.  Returns None to stall the pipeline when a
+        chained block cannot safely run (context margin thinner than k)."""
         k = self.decode_block_steps
-        if k > 1:
-            # a block commits k tokens per active row unconditionally: fall
-            # back to single steps when any row is within k of the context
-            # cap, so the device loop can never run past a row's page table
-            margin = min(
-                (self.max_context - 1 - int(self.lengths[row])
-                 for row, req in enumerate(self.row_request)
-                 if req is not None and not req.done),
-                default=k,
-            )
-            if margin < k:
-                k = 1
-        self._ensure_pages(lookahead=k)
+        lengths = self.lengths.copy()
+        chain_mask = np.zeros((self.max_batch,), bool)
+        if chained is not None:
+            for row, req in chained["rows"]:
+                if self.row_request[row] is req:
+                    lengths[row] += chained["k"]
+                    chain_mask[row] = True
+        margin = min(
+            (self.max_context - 1 - int(lengths[row])
+             for row, req in enumerate(self.row_request)
+             if req is not None and not req.done),
+            default=k,
+        )
+        if margin < k:
+            if chained is not None:
+                return None  # drain first; the sequential fallback handles it
+            k = 1
+        self._ensure_pages(lookahead=k, lengths=lengths)
         self._rng, srng = jax.random.split(self._rng)
+        if chained is None:
+            tokens = jnp.asarray(self.last_tokens, jnp.int32)
+        else:
+            tokens = jnp.where(
+                jnp.asarray(chain_mask),
+                chained["out"][:, -1],
+                jnp.asarray(self.last_tokens, jnp.int32),
+            )
         out, self.pool, self.scales = self._decode_fn(k)(
             self.params, self.pool, self.scales,
             jnp.asarray(self.tables, jnp.int32),
-            jnp.asarray(self.lengths, jnp.int32),
-            jnp.asarray(self.last_tokens, jnp.int32),
+            jnp.asarray(lengths, jnp.int32),
+            tokens,
             srng,
             jnp.asarray(self.row_temp), jnp.asarray(self.row_topk),
             jnp.asarray(self.row_topp), jnp.asarray(self.row_seed),
         )
-        out = np.asarray(jax.device_get(out))  # [B, k]
-        for row, req in enumerate(self.row_request):
-            if req is None or req.done:
+        return {
+            "out": out,
+            "k": k,
+            "rows": [
+                (row, req) for row, req in enumerate(self.row_request)
+                if req is not None and not req.done
+            ],
+        }
+
+    def _process_block(self, block) -> None:
+        """Fetch a dispatched block's tokens and commit them to the rows it
+        decoded.  Commits key on request IDENTITY: a row retired/preempted/
+        re-admitted since the block's dispatch silently drops its (garbage)
+        lane."""
+        out = np.asarray(jax.device_get(block["out"]))  # [B, k]
+        for row, req in block["rows"]:
+            if self.row_request[row] is not req or req.done:
                 continue
-            for j in range(out.shape[1]):
+            for j in range(block["k"]):
                 # each accepted token was committed at position lengths[row];
                 # tokens past EOS/budget stay uncounted (never attended, and
                 # overwritten in place by this row's next real commits)
@@ -788,6 +858,9 @@ class ServingEngine:
                 self._maybe_finish(row, req, tok)
                 if req.done:
                     break
+
+    def _decode_step(self) -> None:
+        self._process_block(self._dispatch_block())
 
     def _draft(self, context: List[int]) -> List[int]:
         """Prompt-lookup draft: match the tail n-gram (n = spec_ngram down
