@@ -47,6 +47,7 @@ def make_train_step_fn(
                     {"params": params},
                     batch["input_ids"],
                     padding_mask=batch.get("padding_mask"),
+                    segment_ids=batch.get("segment_ids"),
                     deterministic=False,
                     rngs={"dropout": rng},
                     return_hidden=True,
@@ -78,6 +79,7 @@ def make_train_step_fn(
                 {"params": params},
                 batch["input_ids"],
                 padding_mask=batch.get("padding_mask"),
+                segment_ids=batch.get("segment_ids"),
                 deterministic=False,
                 rngs={"dropout": rng},
             )
@@ -120,6 +122,7 @@ def make_eval_step(model, training_args: TrainingArgs):
             {"params": params},
             batch["input_ids"],
             padding_mask=batch.get("padding_mask"),
+            segment_ids=batch.get("segment_ids"),
             deterministic=True,
         )
         total, lm, aux = compute_loss(
