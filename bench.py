@@ -696,6 +696,25 @@ def main():
 
     run_stage("int8_quality", stage_int8_quality, min_s=120)
 
+    def stage_trained_quality():
+        """int8 deltas + spec-decode acceptance on TRAINED weights
+        (tools/train_real_ckpt.py's byte-LM; skips if never trained)."""
+        if not on_tpu or smoke:
+            return
+        if not os.path.isdir(os.path.join(
+                _HERE, "checkpoints", "real_d512", "best_model")):
+            return
+        qj = _sub_json(
+            [sys.executable,
+             os.path.join(_HERE, "tools", "bench_trained_quality.py")],
+            {},
+            timeout_s=sub_timeout(),
+        )
+        if qj and "skipped" not in qj:
+            sec["trained_quality"] = _compact(qj, "secondary.trained_quality")
+
+    run_stage("trained_quality", stage_trained_quality, min_s=100)
+
     def stage_gen():
         """Image / video / fused-multimodal generation (BASELINE configs
         #4-5 — the reference's generation entry points are EMPTY files,

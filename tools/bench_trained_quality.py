@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Quality numbers on TRAINED weights (VERDICT r4 next-step #5).
+
+Loads the checkpoint produced by tools/train_real_ckpt.py (byte-level
+d512/8L MoE LM trained on local source text) and measures, on HELD-OUT
+real text:
+
+  * teacher-forced ppl: bf16 vs int8-weight quantization (the round-4
+    int8 table was quantization-noise-on-noise; these deltas sit on a
+    trained distribution)
+  * decode-path ppl through the paged cache: bf16, int8 KV, int8 W+KV
+  * speculative-decoding acceptance: prompt-lookup drafts through the
+    ServingEngine on real code prompts (greedy), vs the same engine
+    without drafts
+
+Prints cumulative JSON lines (last line wins).
+Env: TRAINED_CKPT (default checkpoints/real_d512/best_model),
+     BENCH_TRAINED_SMOKE=1 (CPU; requires a smoke ckpt trained first)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.environ.get(
+    "TRAINED_CKPT", os.path.join(_REPO, "checkpoints", "real_d512",
+                                 "best_model")
+)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    smoke = os.environ.get("BENCH_TRAINED_SMOKE", "") == "1"
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(_REPO, ".jax_cache_cpu" if smoke else ".jax_cache"),
+    )
+
+    if not os.path.isdir(CKPT):
+        print(json.dumps({"skipped": f"no trained checkpoint at {CKPT}"}))
+        return
+
+    from vats_tpu.checkpoint import load_checkpoint
+    from vats_tpu.configs import ModelArgs
+    from vats_tpu.data.shard_dataset import ShardDataset, TokenShard
+    from vats_tpu.inference.quantize import QuantizedModel, quantize_params
+    from vats_tpu.models import TextLM
+    from vats_tpu.ops.decode_attention import PagedKVCache
+
+    restored, meta = load_checkpoint(CKPT)
+    cfg = ModelArgs(**{
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in meta["model_args"].items()
+    })
+    params = {"params": restored["params"]}
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) if hasattr(a, "dtype") else a, params
+    )
+    model = TextLM(cfg)
+    qparams = quantize_params(params)
+    qmodel = QuantizedModel(model)
+
+    # held-out text: the shard's last 5% of docs (train_real_ckpt's split)
+    shard = TokenShard.load(
+        os.path.join(os.path.dirname(CKPT), "shard.npz")
+    )
+    total_t = min(256, cfg.max_seq_len)
+    prefill_t = total_t // 2
+    batch = 2 if smoke else 8
+    ds = ShardDataset(shard, seq_len=total_t, pad_id=0)
+    val_start = int(shard.num_docs * 0.95)
+    vb, _ = ds.pack_sequences(val_start, batch)
+    toks = jnp.asarray(vb["input_ids"])
+    # teacher-forced ppl wants a clean continuous window; mask labels<0
+    valid = jnp.asarray(vb["labels"]) >= 0
+
+    out = {
+        "config": (
+            f"TRAINED d{cfg.d_model}/{cfg.num_layers}L E{cfg.num_experts}"
+            f"top{cfg.top_k} byte-LM, held-out source text, B={batch}, "
+            f"T={total_t} (prefill {prefill_t}); "
+            f"val_loss_at_save={meta.get('loss')}"
+        ),
+        "tokens_seen_m": round(meta.get("tokens_seen", 0) / 1e6, 1),
+    }
+
+    def emit():
+        print(json.dumps(out), flush=True)
+
+    def fwd(m, p):
+        logits, _, _ = m.apply(
+            p, toks, segment_ids=jnp.asarray(vb["segment_ids"]),
+            padding_mask=jnp.asarray(vb["padding_mask"]),
+            deterministic=True,
+        )
+        return logits.astype(jnp.float32)
+
+    def ppl_from_logits(logits):
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        tgt = toks[:, 1:]
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        m = valid[:, 1:]
+        return jnp.exp(jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1))
+
+    l_bf16 = jax.jit(lambda p: fwd(model, p))(params)
+    l_int8 = jax.jit(lambda p: fwd(qmodel, p))(qparams)
+    ppl_bf16 = float(ppl_from_logits(l_bf16))
+    ppl_int8 = float(ppl_from_logits(l_int8))
+    out["tf_ppl_bf16"] = round(ppl_bf16, 4)
+    out["tf_ppl_int8w"] = round(ppl_int8, 4)
+    out["tf_ppl_int8w_delta_pct"] = round(100 * (ppl_int8 / ppl_bf16 - 1), 3)
+    out["logit_max_abs_delta_int8w"] = round(
+        float(jnp.max(jnp.abs(l_bf16 - l_int8))), 4
+    )
+    emit()
+    del l_bf16, l_int8
+
+    # ---- decode-path ppl through the paged cache ----
+    def decode_ppl(m, p, kv_quant):
+        def run(p):
+            cache = PagedKVCache.create(
+                num_layers=cfg.num_layers, batch_size=batch,
+                max_seq_len=total_t, kv_heads=cfg.query_groups,
+                head_dim=cfg.head_dim, page_size=128,
+                dtype=jnp.int8 if kv_quant == "int8" else jnp.bfloat16,
+            )
+            logits, cache, _ = m.apply(
+                p, toks[:, :prefill_t],
+                padding_mask=jnp.ones((batch, prefill_t), bool),
+                paged_cache=cache, deterministic=True,
+            )
+            logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32))
+            nll0 = -jnp.take_along_axis(
+                logp, toks[:, prefill_t][:, None], axis=-1
+            )[:, 0]
+
+            def body(i, carry):
+                cache, nll = carry
+                lg, cache, _ = m.apply(
+                    p, jax.lax.dynamic_slice_in_dim(toks, i, 1, axis=1),
+                    paged_cache=cache, deterministic=True,
+                )
+                logp = jax.nn.log_softmax(lg[:, 0].astype(jnp.float32))
+                tgt = jax.lax.dynamic_slice_in_dim(toks, i + 1, 1, axis=1)
+                nll += -jnp.take_along_axis(logp, tgt, axis=-1)[:, 0]
+                return cache, nll
+
+            _, nll = jax.lax.fori_loop(
+                prefill_t, total_t - 1, body, (cache, nll0)
+            )
+            return jnp.exp(jnp.mean(nll / (total_t - prefill_t)))
+
+        return float(jax.jit(run)(p))
+
+    d_bf16 = decode_ppl(model, params, None)
+    out["decode_ppl_bf16"] = round(d_bf16, 4)
+    emit()
+    d_int8kv = decode_ppl(model, params, "int8")
+    out["decode_ppl_int8kv"] = round(d_int8kv, 4)
+    out["decode_ppl_int8kv_delta_pct"] = round(
+        100 * (d_int8kv / d_bf16 - 1), 3
+    )
+    emit()
+    d_wkv = decode_ppl(qmodel, qparams, "int8")
+    out["decode_ppl_int8w_kv"] = round(d_wkv, 4)
+    out["decode_ppl_int8w_kv_delta_pct"] = round(
+        100 * (d_wkv / d_bf16 - 1), 3
+    )
+    emit()
+
+    # ---- speculative decoding acceptance on real code prompts ----
+    from vats_tpu.inference.serving import ServingEngine
+
+    # real held-out prompts: first 128 bytes of val documents
+    prompts = []
+    for di in range(val_start, min(val_start + 4, shard.num_docs)):
+        o0, o1 = int(shard.offsets[di]), int(shard.offsets[di + 1])
+        prompts.append([int(t) for t in shard.tokens[o0:o0 + 128]])
+    max_new = 48 if not smoke else 8
+
+    def run_engine(spec_k):
+        eng = ServingEngine(
+            model, params, max_batch=2,
+            max_context=min(cfg.max_seq_len, 512), page_size=128,
+            do_sample=False, spec_k=spec_k, prompt_buckets=(128,),
+        )
+        for p in prompts:
+            eng.submit(p, max_new_tokens=max_new)
+        t0 = time.perf_counter()
+        res = eng.run()
+        dt = time.perf_counter() - t0
+        toks_out = sum(len(v) for v in res.values())
+        acc = (eng.spec_accepted / eng.spec_proposed
+               if eng.spec_proposed else None)
+        return res, toks_out / dt, acc
+
+    res0, tps0, _ = run_engine(0)
+    res4, tps4, acc = run_engine(4)
+    assert res0 == res4, "spec decode changed greedy outputs"
+    out["spec_acceptance_rate_trained"] = round(acc, 3) if acc else None
+    out["spec_speedup_trained"] = round(tps4 / tps0, 2)
+    out["spec_tokens_per_sec"] = round(tps4, 1)
+    emit()
+
+
+if __name__ == "__main__":
+    main()

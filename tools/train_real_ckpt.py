@@ -47,41 +47,70 @@ CORPUS_EXTS = (".py", ".rst", ".md", ".txt")
 
 
 def build_shard(max_mb: float, seq_len: int):
-    """Byte-tokenize local source files into a TokenShard (cached)."""
+    """Byte-tokenize local source files into a TokenShard (cached).
+
+    Files are SAMPLED uniformly across the whole tree (path-hash keyed, so
+    the corpus is not dominated by whatever package sorts first), passed
+    through the framework's exact-dedup filter, and SHUFFLED doc-wise by a
+    content-hash key so the held-out tail is a random split, not the last
+    package walked."""
+    import hashlib
+
     from vats_tpu.data.shard_dataset import TokenShard
+    from vats_tpu.data.text_cleaning import DeduplicationFilter
 
     path = os.path.join(OUT_DIR, "shard.npz")
     if os.path.exists(path):
         return TokenShard.load(path)
-    docs, total = [], 0
-    budget = max_mb * 1e6
+    # first pass: candidate list (path + size only)
+    cands = []
     for root in CORPUS_ROOTS:
-        if total >= budget:
-            break
         for dirpath, _, files in os.walk(root):
-            if total >= budget:
-                break
             if ".jax_cache" in dirpath or "__pycache__" in dirpath:
                 continue
-            for f in sorted(files):
+            for f in files:
                 if not f.endswith(CORPUS_EXTS):
                     continue
                 fp = os.path.join(dirpath, f)
                 try:
-                    raw = open(fp, "rb").read()
+                    sz = os.path.getsize(fp)
                 except OSError:
                     continue
-                if len(raw) < 2 * seq_len or len(raw) > 512 * 1024:
-                    continue  # too short to pack well / pathological blobs
-                docs.append((np.frombuffer(raw, np.uint8).astype(np.int32)
-                             + 1).tolist())
-                total += len(raw)
-                if total >= budget:
-                    break
-    shard = TokenShard.from_documents(docs)
+                if 2 * seq_len <= sz <= 512 * 1024:
+                    cands.append((fp, sz))
+    total_avail = sum(sz for _, sz in cands)
+    budget = max_mb * 1e6
+    keep_frac = min(1.0, budget / max(total_avail, 1))
+    dedup = DeduplicationFilter()
+    docs, total = [], 0
+    # path-hash sampling keeps a deterministic uniform slice of the tree
+    for fp, sz in cands:
+        h = int(hashlib.md5(fp.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+        if h > keep_frac:
+            continue
+        try:
+            raw = open(fp, "rb").read()
+        except OSError:
+            continue
+        text = raw.decode("utf-8", errors="ignore")
+        if dedup.is_duplicate(text):
+            continue
+        docs.append((fp, raw))
+        total += len(raw)
+        if total >= budget:
+            break
+    # content-hash shuffle -> the 95/5 doc split is random w.r.t. packages
+    docs.sort(key=lambda d: hashlib.md5(d[1][:256]).hexdigest())
+    token_docs = [
+        (np.frombuffer(raw, np.uint8).astype(np.int32) + 1).tolist()
+        for _, raw in docs
+    ]
+    shard = TokenShard.from_documents(token_docs)
     os.makedirs(OUT_DIR, exist_ok=True)
     shard.save(path)
-    print(f"corpus: {len(docs)} docs, {total / 1e6:.1f} MB bytes", flush=True)
+    print(f"corpus: {len(docs)} docs, {total / 1e6:.1f} MB bytes "
+          f"(sampled {keep_frac:.1%} of {total_avail / 1e6:.0f} MB, "
+          f"deduped)", flush=True)
     return shard
 
 
