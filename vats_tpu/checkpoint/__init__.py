@@ -2,6 +2,12 @@ from vats_tpu.checkpoint.manager import (
     CheckpointManager,
     load_checkpoint,
     save_checkpoint,
+    unbox_restored,
 )
 
-__all__ = ["CheckpointManager", "load_checkpoint", "save_checkpoint"]
+__all__ = [
+    "CheckpointManager",
+    "load_checkpoint",
+    "save_checkpoint",
+    "unbox_restored",
+]

@@ -89,6 +89,21 @@ def load_checkpoint(
     return restored, meta
 
 
+def unbox_restored(tree):
+    """Strip flax ``LogicallyPartitioned`` boxes that a target-less orbax
+    restore returns as plain ``{"value": ..., "names": ...}`` dicts (the
+    live boxes only reconstruct when restoring into a matching target
+    TrainState).  Safe on already-plain trees."""
+    if isinstance(tree, dict):
+        keys = set(tree.keys())
+        if "value" in keys and keys <= {"value", "names", "mesh", "rules"}:
+            return unbox_restored(tree["value"])
+        return {k: unbox_restored(v) for k, v in tree.items()}
+    if hasattr(tree, "unbox"):
+        return tree.unbox()
+    return tree
+
+
 class CheckpointManager:
     """Best/regular checkpoint policy driver (reference script behavior:
     periodic regular saves + best-on-val-improvement,
