@@ -21,6 +21,29 @@ sys.path.insert(0, "/root/reference")
 
 import torch  # noqa: E402
 
+# torchvision is not installed in this container; the reference's patch
+# embed only uses TF.center_crop (patch_embeddings2d.py:8,79) — provide a
+# minimal functional equivalent so the reference model runs as written
+if "torchvision" not in sys.modules:
+    import types
+
+    def _center_crop(img, output_size):
+        th, tw = output_size
+        h, w = img.shape[-2:]
+        top = max((h - th) // 2, 0)
+        left = max((w - tw) // 2, 0)
+        return img[..., top:top + th, left:left + tw]
+
+    tv = types.ModuleType("torchvision")
+    tv_t = types.ModuleType("torchvision.transforms")
+    tv_f = types.ModuleType("torchvision.transforms.functional")
+    tv_f.center_crop = _center_crop
+    tv.transforms = tv_t
+    tv_t.functional = tv_f
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tv_t
+    sys.modules["torchvision.transforms.functional"] = tv_f
+
 
 def run_medium(iters: int) -> float:
     from configs.transformers.vision.vit_2d.model_args.model_args_medium import (
