@@ -120,7 +120,7 @@ def main():
 
     # ---- rope + qk-norm ----
     if want("rope_qknorm"):
-        from vats_tpu.nn.rope import apply_rope_interleaved
+        from vats_tpu.nn.rope import apply_rope_1d
 
         q = jax.random.normal(ks[3], (BATCH, 1, HQ, HD), bf)
         kk = jax.random.normal(ks[4], (BATCH, 1, G, HD), bf)
@@ -137,8 +137,8 @@ def main():
                     jnp.linalg.norm(kk.astype(jnp.float32), axis=-1,
                                     keepdims=True), 1e-6
                 ).astype(bf)
-                qr = apply_rope_interleaved(qn, pos, 10000.0)
-                kr = apply_rope_interleaved(kn, pos, 10000.0)
+                qr = apply_rope_1d(qn, pos, 10000.0)
+                kr = apply_rope_1d(kn, pos, 10000.0)
                 return (jnp.sum(qr.astype(jnp.float32))
                         + jnp.sum(kr.astype(jnp.float32)))
             return fn, (q, kk, pos)

@@ -30,6 +30,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # PROBE_PRNG=rbg|unsafe_rbg|threefry2x32 — dropout masks at the bench
+    # tier are ~60 x [16,512,1440] threefry draws per step; the hardware
+    # RBG implementations cost ~10x less on TPU (MaxText sets unsafe_rbg).
+    prng = os.environ.get("PROBE_PRNG")
+    if prng:
+        jax.config.update("jax_default_prng_impl", prng)
+
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -117,6 +124,9 @@ def main():
     variants = {
         # name: (cfg kwargs, targs overrides, mode)
         "full_step_ms": ({}, {}, "step"),  # the bench configuration
+        # dropout-cost isolation: dropout=0 removes both the threefry mask
+        # generation AND the mask-multiply HBM traffic
+        "full_step_nodrop_ms": ({"dropout": 0.0}, {}, "step"),
         "fwd_bwd_classic_ce_remat_ms": ({}, {}, "grad"),
         # XLA attention under remat='dots' OOMs: the policy saves matmul
         # outputs, and the [B, H, T, T] score matrices ARE matmul outputs

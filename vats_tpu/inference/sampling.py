@@ -16,7 +16,7 @@ All filters assign -inf via a large negative fp32 constant.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,12 +48,40 @@ def apply_repetition_penalty(
     return jnp.where(present, penalized, logits)
 
 
+def exact_top_k(
+    logits: jnp.ndarray, k: int, chunk: int = 256
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over the last axis, sorted descending — chunked.
+
+    The global top-k is a subset of the union of per-chunk top-ks, so a
+    per-chunk TopK (cheap: each chunk is sorted independently) followed by a
+    TopK over the V/chunk * k candidates is exact.  At [128, 65536] k=50 the
+    v5e decode trace put the direct TopK custom call at 1.33 ms/step; the
+    chunked form measures ~0.70x of it (tools/probe_topk.py — verified
+    bit-identical indices/values against jax.lax.top_k there).
+    """
+    v = logits.shape[-1]
+    if v <= 4 * chunk or k > chunk or logits.ndim != 2:
+        return jax.lax.top_k(logits, k)
+    c = v // chunk
+    if v % chunk:
+        return jax.lax.top_k(logits, k)
+    b = logits.shape[0]
+    xc = logits.reshape(b, c, chunk)
+    v1, i1 = jax.lax.top_k(xc, k)  # [B, c, k] per-chunk, sorted
+    i1 = i1.astype(jnp.int32) + (
+        jnp.arange(c, dtype=jnp.int32) * chunk
+    )[None, :, None]
+    v2, i2 = jax.lax.top_k(v1.reshape(b, c * k), k)
+    return v2, jnp.take_along_axis(i1.reshape(b, c * k), i2, axis=-1)
+
+
 def apply_top_k(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
     """Mask logits strictly below the top-k threshold to -inf. [B, V]."""
     if top_k <= 0:
         return logits
     k = min(top_k, logits.shape[-1])
-    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    kth = exact_top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
@@ -136,7 +164,7 @@ def sample_logits(
             vals = jnp.take_along_axis(vals, order, axis=-1)
             idx = jnp.take_along_axis(idx, order, axis=-1)
         else:
-            vals, idx = jax.lax.top_k(logits, top_k)  # sorted descending
+            vals, idx = exact_top_k(logits, top_k)  # sorted descending
         if temperature is not None and temperature != 0:
             vals = vals / temperature
         if top_p is not None and top_p < 1.0:
@@ -198,7 +226,7 @@ def sample_logits_per_row(
     """
     logits = logits.astype(jnp.float32)
     kmax = min(kmax, logits.shape[-1])
-    vals, idx = jax.lax.top_k(logits, kmax)  # sorted descending
+    vals, idx = exact_top_k(logits, kmax)  # sorted descending
     pos = jnp.arange(kmax)[None, :]
     k_eff = jnp.where(top_k > 0, jnp.minimum(top_k, kmax), kmax)
     vals = jnp.where(pos < k_eff[:, None], vals, NEG_INF)

@@ -221,7 +221,14 @@ class TextLM(nn.Module):
             if cfg.gradient_checkpointing and not deterministic:
                 block_cls = _remat_block(cfg)
             new_paged = paged_cache
+            # a fresh paged cache (created this call, no history) lets every
+            # layer's prefill skip the page-pool gather; layer 0's append
+            # clears the per-object flag, so re-pin it for layers 1..N-1 —
+            # all layers of one forward see the same (trace-time) freshness
+            fresh0 = getattr(paged_cache, "fresh", False)
             for i in range(cfg.num_layers):
+                if fresh0 and i > 0:
+                    new_paged = new_paged.replace(fresh=True)
                 x, returned, aux = block_cls(cfg, name=f"layer_{i}")(
                     x, padding_mask, new_cache, segment_ids, new_paged, i,
                     deterministic,
@@ -231,6 +238,8 @@ class TextLM(nn.Module):
                 else:
                     new_cache = returned
                 total_aux = total_aux + aux.astype(jnp.float32)
+            if fresh0:
+                new_paged = new_paged.replace(fresh=False)
 
         t = input_ids.shape[1]
         if paged_cache is not None:

@@ -549,12 +549,41 @@ class Attention(nn.Module):
                 if paged_cache.quantized:
                     out, new_pool, new_scales = res
                     new_cache = paged_cache.replace(
-                        kv_pages=new_pool, kv_scales=new_scales
+                        kv_pages=new_pool, kv_scales=new_scales, fresh=False
                     )
                 else:
                     out, new_pool = res
-                    new_cache = paged_cache.replace(kv_pages=new_pool)
+                    new_cache = paged_cache.replace(
+                        kv_pages=new_pool, fresh=False
+                    )
             return out[:, None], new_cache
+
+        if getattr(paged_cache, "fresh", False):
+            # fresh-cache prefill (generate/bench hot path): the pool is
+            # empty and every row starts at length 0, so attention is plain
+            # causal over this window — no page gather, no buffer-wide
+            # masking, and the flash kernel serves long prompts.  Pages
+            # still get the roped K/V appended for the decode steps.
+            impl = select_attention_impl(
+                self.impl, head_dim=q.shape[-1], seq_len=t
+            )
+            if impl in ("flash", "flash_interpret"):
+                from vats_tpu.ops.flash_attention import flash_attention
+
+                out = flash_attention(
+                    q, k, v, scale=scale, causal=True,
+                    left_window=left_window, right_window=0,
+                    kv_valid=padding_mask,
+                    interpret=(impl == "flash_interpret"),
+                )
+            else:
+                out = dot_product_attention(
+                    q, k, v, scale=scale, causal=True,
+                    left_window=left_window, right_window=0,
+                    kv_valid=padding_mask,
+                )
+            new_cache = paged_cache.append_tokens(layer_idx, k, v)
+            return out, new_cache
 
         # prefill: append the whole window, gather pages in the cache-native
         # sequence-minor layout [B, G, hd_pad, S] (head-dim-minor buffers pay

@@ -35,6 +35,7 @@ Design (every choice below was measured on a v5e against the alternative):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -95,6 +96,12 @@ class PagedKVCache:
     # slices).  dequantized = int8_value * scale.  None for bf16 pools.
     kv_scales: Optional[jnp.ndarray] = None
     head_dim: int = struct.field(pytree_node=False, default=0)  # logical hd
+    # True only between create() and the first append: a fresh-cache prefill
+    # (the generate/bench hot path) can skip the page gather entirely and
+    # run plain causal attention over its own window.  Static (pytree_node
+    # False): the flag is a trace-time property, constant inside any jitted
+    # loop because every append path clears it.
+    fresh: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(
@@ -138,6 +145,7 @@ class PagedKVCache:
             lengths=jnp.zeros((batch_size,), dtype=jnp.int32),
             kv_scales=scales,
             head_dim=head_dim,
+            fresh=True,
         )
 
     @property
@@ -207,7 +215,7 @@ class PagedKVCache:
         kv_pages = self.kv_pages.at[layer_idx, phys, :, :, :, pos % ps].set(
             kv.astype(self.kv_pages.dtype)
         )
-        return self.replace(kv_pages=kv_pages, kv_scales=scales)
+        return self.replace(kv_pages=kv_pages, kv_scales=scales, fresh=False)
 
     def append_tokens(
         self, layer_idx: int, k_new: jnp.ndarray, v_new: jnp.ndarray
@@ -231,7 +239,7 @@ class PagedKVCache:
         kv_pages = self.kv_pages.at[layer_idx, phys, :, :, :, pos % ps].set(
             kv.astype(self.kv_pages.dtype)
         )
-        return self.replace(kv_pages=kv_pages, kv_scales=scales)
+        return self.replace(kv_pages=kv_pages, kv_scales=scales, fresh=False)
 
     def gather_dense_t(self, layer_idx: int):
         """Materialize a layer's pages in the cache-native layout
@@ -332,6 +340,7 @@ def _decode_kernel(
     has_cur: bool,
     commit: bool,
     quantized: bool,
+    ablate: Optional[str] = None,
 ):
     """Chunked, double-buffered paged decode over sequence-minor pages.
 
@@ -393,9 +402,17 @@ def _decode_kernel(
     ps = page_size
     rg = rows * g  # Mosaic matmuls take ONE batch dim: fold (rows, G)
 
-    q = q_ref[0].astype(jnp.float32).reshape(rg, n_heads, hd)
+    # bf16 pools attend with native bf16 x bf16 -> f32 MXU passes (fp32
+    # operand casts forced 4-8x slower fp32 passes plus a VPU conversion of
+    # every streamed page); int8 pools keep the f32 dequant path
+    mm_dtype = (
+        jnp.bfloat16 if kv_buf.dtype == jnp.bfloat16 else jnp.float32
+    )
+    q = q_ref[0].astype(mm_dtype).reshape(rg, n_heads, hd)
 
     def issue(c, slot):
+        if ablate in ("nodma", "skeleton"):
+            return
         base = c * w
         for r in range(rows):
             for j in range(w):  # static unroll: rows*w copies in flight
@@ -413,6 +430,8 @@ def _decode_kernel(
                     ).start()
 
     def wait(slot):
+        if ablate in ("nodma", "skeleton"):
+            return
         for r in range(rows):
             for j in range(w):
                 pltpu.make_async_copy(
@@ -452,10 +471,10 @@ def _decode_kernel(
         # column: m = s_cur, l = 1, o = v_cur — no post-loop combine needed.
         # The token attends UNQUANTIZED (cur arrives in storage precision;
         # quantized mode pads its G axis to the scales-page sublane granule)
-        cur_full = cur_ref[0].astype(jnp.float32)  # [rows, 2, G(_pad), hd]
+        cur_full = cur_ref[0].astype(mm_dtype)  # [rows, 2, G(_pad), hd]
         cur = cur_full[:, :, :g] if cur_full.shape[2] != g else cur_full
         k_cur = cur[:, 0].reshape(rg, hd)
-        v_cur = cur[:, 1].reshape(rg, hd)
+        v_cur = cur[:, 1].reshape(rg, hd).astype(jnp.float32)
         s_cur = jax.lax.dot_general(
             q, k_cur[:, :, None], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -544,6 +563,15 @@ def _decode_kernel(
                             sc_buf[slot, r, j] if quantized else None,
                         )
 
+        if ablate == "skeleton":
+            return m_acc, l_acc, o_acc
+        if ablate == "nocompute":
+            # DMA-cost isolation: touch the streamed buffer with one cheap
+            # VPU read so the copies stay live, skip all matmul/softmax work
+            probe = kv_buf[slot, :, 0, 0, :, :, 0].astype(jnp.float32)
+            o_new = o_acc + jnp.sum(probe) * 1e-30
+            return m_acc, l_acc, o_new
+
         # per-page matmuls (w static): kv_buf[slot, :, j, 0] is
         # [rows, G, hd, ps] -> folded [RG, hd, ps]; the hd contraction
         # against q needs no in-VMEM transpose of the streamed pages.
@@ -551,7 +579,7 @@ def _decode_kernel(
         # ([RG, ps], broadcast over heads) — hd never sees a dequant pass
         parts = []
         for j in range(w):
-            kj = kv_buf[slot, :, j, 0].astype(jnp.float32).reshape(
+            kj = kv_buf[slot, :, j, 0].astype(mm_dtype).reshape(
                 rg, hd, ps
             )
             s_j = jax.lax.dot_general(
@@ -577,7 +605,7 @@ def _decode_kernel(
         l_new = alpha * l_acc + jnp.sum(p, axis=-1, keepdims=True)
         o_new = o_acc * alpha
         for j in range(w):
-            vj = kv_buf[slot, :, j, 1].astype(jnp.float32).reshape(
+            vj = kv_buf[slot, :, j, 1].astype(mm_dtype).reshape(
                 rg, hd, ps
             )
             pj = p[..., j * ps:(j + 1) * ps]
@@ -587,7 +615,7 @@ def _decode_kernel(
                 vsc = sc_buf[slot, :, j, 1, :g].reshape(rg, ps)
                 pj = pj * vsc[:, None, :]
             o_new = o_new + jax.lax.dot_general(
-                pj, vj, (((2,), (2,)), ((0,), (0,))),
+                pj.astype(mm_dtype), vj, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [RG, N, hd]
         return m_new, l_new, o_new
@@ -675,6 +703,14 @@ def _run_decode_kernel(
             if pps % cand == 0 and rows * cand <= 8:
                 window = cand
                 break
+    # tuning/ablation overrides (probe tools only)
+    env_rows = os.environ.get("VATS_DECODE_ROWS")
+    if env_rows and b % int(env_rows) == 0:
+        rows = int(env_rows)
+    env_window = os.environ.get("VATS_DECODE_WINDOW")
+    if env_window:
+        window = int(env_window)
+    ablate = os.environ.get("VATS_DECODE_ABLATE") or None
 
     kernel = functools.partial(
         _decode_kernel,
@@ -687,6 +723,7 @@ def _run_decode_kernel(
         has_cur=has_cur,
         commit=commit,
         quantized=quantized,
+        ablate=ablate,
     )
     in_specs = [
         pl.BlockSpec(
@@ -759,7 +796,15 @@ def _run_decode_kernel(
         input_output_aliases=io_aliases,
         interpret=interpret,
         compiler_params=(
-            None if interpret else pltpu.CompilerParams(has_side_effects=True)
+            None
+            if interpret
+            else pltpu.CompilerParams(
+                has_side_effects=(
+                    False
+                    if os.environ.get("VATS_DECODE_NO_SIDE_EFFECTS") == "1"
+                    else True
+                )
+            )
         ),
     )(
         lengths.astype(jnp.int32),
