@@ -130,3 +130,33 @@ def test_token_generator_paged_mode():
     out_d = dense.generate_tokens("Once upon a time,", ga, Tok())
     out_p = paged.generate_tokens("Once upon a time,", ga, Tok())
     assert out_d == out_p and len(out_p) > 0
+
+
+def test_paged_generate_prefill_row_chunk_parity():
+    """Row-chunked prefill (the B=256 memory-bounding path) is bit-identical
+    to whole-batch prefill, including ragged prompts."""
+    args = tiny_args()
+    model = TextLM(args)
+    params = model.init(
+        jax.random.PRNGKey(9), jnp.zeros((1, 8), jnp.int32)
+    )
+    full_prompt = jax.random.randint(jax.random.PRNGKey(10), (4, 8), 1, 97)
+    mask = jnp.asarray(
+        [[True] * 8, [True] * 5 + [False] * 3, [True] * 8,
+         [True] * 3 + [False] * 5]
+    )
+    prompt = jnp.where(mask, full_prompt, 0)
+    kw = dict(
+        max_new_tokens=5, do_sample=True, temperature=0.8, top_k=7,
+        pad_token_id=0, eos_token_id=None, total_len=16,
+    )
+    t_whole, l_whole = generate_paged(
+        model, params, prompt, mask, jax.random.PRNGKey(11), page_size=128,
+        **kw,
+    )
+    t_chunk, l_chunk = generate_paged(
+        model, params, prompt, mask, jax.random.PRNGKey(11), page_size=128,
+        prefill_row_chunk=2, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(l_whole), np.asarray(l_chunk))
+    np.testing.assert_array_equal(np.asarray(t_whole), np.asarray(t_chunk))

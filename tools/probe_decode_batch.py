@@ -46,12 +46,15 @@ def worker():
     prompt = jax.random.randint(rng, (batch, prompt_len), 1, cfg.vocab_size)
     params = model.init(jax.random.PRNGKey(1), prompt[:1, :8])
 
+    rc = os.environ.get("PROBE_ROW_CHUNK")
+
     def run(seed):
         return generate_paged(
             model, params, prompt, None, jax.random.PRNGKey(seed),
             do_sample=True, temperature=0.8, top_k=50, page_size=128,
             max_new_tokens=steps, pad_token_id=0, eos_token_id=None,
             total_len=total_len,
+            prefill_row_chunk=int(rc) if rc else None,
         )
 
     jax.device_get(run(0)[0])

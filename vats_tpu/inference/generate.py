@@ -177,6 +177,7 @@ def generate(
         "page_size",
         "approx_top_k",
         "kv_quant",
+        "prefill_row_chunk",
     ),
 )
 def generate_paged(
@@ -198,6 +199,7 @@ def generate_paged(
     page_size: int = 128,
     approx_top_k: bool = False,
     kv_quant: Optional[str] = None,
+    prefill_row_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ragged-batch generation over a paged KV cache.
 
@@ -245,11 +247,44 @@ def generate_paged(
     )
 
     last_idx = jnp.maximum(prompt_lens - 1, 0)
-    logits, cache, _ = model.apply(
-        params, input_ids, padding_mask=attention_mask, paged_cache=cache,
-        deterministic=True, readout_positions=last_idx,
-    )
-    next_logits = logits[:, 0]
+    if prefill_row_chunk is None or prefill_row_chunk >= b:
+        logits, cache, _ = model.apply(
+            params, input_ids, padding_mask=attention_mask, paged_cache=cache,
+            deterministic=True, readout_positions=last_idx,
+        )
+        next_logits = logits[:, 0]
+    else:
+        # row-chunked prefill: rows are independent until decode, so the
+        # prompt forward runs in waves sharing one page pool — bounds the
+        # [chunk, T, ...] activation temps that cap batch size (B=256 bf16
+        # at the bench tier OOMs in prefill HLO temps, not in the pool)
+        rc = prefill_row_chunk
+        if b % rc != 0:
+            raise ValueError(
+                f"prefill_row_chunk ({rc}) must divide batch ({b})"
+            )
+        pool, scales = cache.kv_pages, cache.kv_scales
+        chunk_logits, chunk_lens = [], []
+        for lo in range(0, b, rc):
+            sub = cache.replace(
+                kv_pages=pool,
+                kv_scales=scales,
+                page_table=cache.page_table[lo:lo + rc],
+                lengths=cache.lengths[lo:lo + rc],
+            )
+            lg, sub_out, _ = model.apply(
+                params, input_ids[lo:lo + rc],
+                padding_mask=attention_mask[lo:lo + rc], paged_cache=sub,
+                deterministic=True, readout_positions=last_idx[lo:lo + rc],
+            )
+            pool, scales = sub_out.kv_pages, sub_out.kv_scales
+            chunk_lens.append(sub_out.lengths)
+            chunk_logits.append(lg[:, 0])
+        cache = cache.replace(
+            kv_pages=pool, kv_scales=scales,
+            lengths=jnp.concatenate(chunk_lens), fresh=False,
+        )
+        next_logits = jnp.concatenate(chunk_logits, axis=0)
 
     unfinished = jnp.ones((b,), dtype=bool)
 

@@ -471,13 +471,15 @@ def _decode_kernel(
         # column: m = s_cur, l = 1, o = v_cur — no post-loop combine needed.
         # The token attends UNQUANTIZED (cur arrives in storage precision;
         # quantized mode pads its G axis to the scales-page sublane granule)
-        cur_full = cur_ref[0].astype(mm_dtype)  # [rows, 2, G(_pad), hd]
+        # fp32 here regardless of mm_dtype: it's ONE column (VPU multiply +
+        # reduce, no MXU), and Mosaic can't relayout bf16 through the
+        # [RG, hd, 1] minor-dim insertion a dot_general would need
+        cur_full = cur_ref[0].astype(jnp.float32)  # [rows, 2, G(_pad), hd]
         cur = cur_full[:, :, :g] if cur_full.shape[2] != g else cur_full
         k_cur = cur[:, 0].reshape(rg, hd)
-        v_cur = cur[:, 1].reshape(rg, hd).astype(jnp.float32)
-        s_cur = jax.lax.dot_general(
-            q, k_cur[:, :, None], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        v_cur = cur[:, 1].reshape(rg, hd)
+        s_cur = jnp.sum(
+            q.astype(jnp.float32) * k_cur[:, None, :], axis=-1, keepdims=True
         ) * scale  # [RG, N, 1]
         m0 = s_cur
         l0 = jnp.ones((rg, n_heads, 1), jnp.float32)
