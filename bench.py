@@ -44,7 +44,11 @@ import subprocess
 import sys
 import time
 
-BATCH = 128  # largest serving batch that fits paged bf16 at this tier
+BATCH = 192  # largest serving batch that fits paged bf16 at this tier
+# (round 5: was 128 — the expert weight stream dominates the step and
+# amortizes over rows; B=256 bf16 still exceeds HBM by ~0.6 GB even with
+# row-chunked prefill, tools/probe_decode_batch.py)
+PREFILL_ROW_CHUNK = 96
 PROMPT_LEN = 128
 DECODE_STEPS = 256
 PAGE_SIZE = 128
@@ -276,7 +280,9 @@ def main():
         return generate_paged(
             model, params, prompt, None, jax.random.PRNGKey(seed),
             do_sample=True, temperature=0.8, top_k=50,
-            page_size=PAGE_SIZE, **common,
+            page_size=PAGE_SIZE,
+            prefill_row_chunk=None if smoke else PREFILL_ROW_CHUNK,
+            **common,
         )
 
     paged_tps = timed(run_paged)

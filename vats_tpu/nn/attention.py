@@ -582,7 +582,7 @@ class Attention(nn.Module):
                     left_window=left_window, right_window=0,
                     kv_valid=padding_mask,
                 )
-            new_cache = paged_cache.append_tokens(layer_idx, k, v)
+            new_cache = paged_cache.append_window_pages(layer_idx, k, v)
             return out, new_cache
 
         # prefill: append the whole window, gather pages in the cache-native

@@ -241,6 +241,50 @@ class PagedKVCache:
         )
         return self.replace(kv_pages=kv_pages, kv_scales=scales, fresh=False)
 
+    def append_window_pages(
+        self, layer_idx: int, k_new: jnp.ndarray, v_new: jnp.ndarray
+    ) -> "PagedKVCache":
+        """Fresh-cache prefill append: write the window as WHOLE pages.
+
+        Requires every row at length 0 (the ``fresh`` invariant).  The
+        generic ``append_tokens`` scatters per (row, token) along the
+        page lane axis, which XLA lowers by materializing the ENTIRE pool
+        transposed to token-major layout — 5.6 GB padded + a 2.8 GB copy
+        at the B=192/384 bench shape (the allocation that capped the bf16
+        decode batch).  Building [B*pages_used, 2, G, hd_pad, ps] pages
+        from the window by reshape and scattering at PAGE granularity on
+        the pool's leading axis keeps the pool layout intact: the update
+        is a dynamic row write, no transposed pool copy.
+        """
+        b, t, g, _ = k_new.shape
+        ps = self.page_size
+        ppu = -(-t // ps)
+        pad = ppu * ps - t
+        kv = jnp.stack(
+            [self._pad_kv(k_new), self._pad_kv(v_new)], axis=2
+        )  # [B, T, 2, G, hd_pad]
+        scales = None
+        if self.quantized:
+            kv, sc = quantize_kv(kv)  # sc [B, T, 2, G]
+            gp = self.kv_scales.shape[3]
+            sc = jnp.pad(sc, ((0, 0), (0, pad), (0, 0), (0, gp - g)))
+            sc_pages = sc.reshape(b, ppu, ps, 2, gp).transpose(
+                0, 1, 3, 4, 2
+            ).reshape(b * ppu, 2, gp, ps)
+        if pad:
+            kv = jnp.pad(kv, ((0, 0), (0, pad)) + ((0, 0),) * 3)
+        hdp = kv.shape[-1]
+        pages = kv.reshape(b, ppu, ps, 2, g, hdp).transpose(
+            0, 1, 3, 4, 5, 2
+        ).reshape(b * ppu, 2, g, hdp, ps)
+        pids = self.page_table[:, :ppu].reshape(-1)
+        kv_pages = self.kv_pages.at[layer_idx, pids].set(
+            pages.astype(self.kv_pages.dtype)
+        )
+        if self.quantized:
+            scales = self.kv_scales.at[layer_idx, pids].set(sc_pages)
+        return self.replace(kv_pages=kv_pages, kv_scales=scales, fresh=False)
+
     def gather_dense_t(self, layer_idx: int):
         """Materialize a layer's pages in the cache-native layout
         [B, G, hd_pad, S] (a pure reshape of the gathered pages — the
