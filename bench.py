@@ -6,7 +6,9 @@ the reference's medium model shapes (d1440 / 24 heads / 8 kv groups / 20
 layers / vocab 65536, /root/reference/configs/transformers/nlp/model_args/
 model_args_medium.py) with the E=8 top-2 MoE the north star benchmarks —
 4.19B params in bf16, the largest MoE tier that fits one v5e's 16 GB HBM
-with a serving KV cache.  B=128 is the operating point.
+with a serving KV cache.  B=256 is the round-5 operating point (the
+expert weight stream amortizes over rows; page-granular prefill appends
+plus row-chunked prefill freed the HBM that capped round 4 at B=128).
 
 The recorded serving path is ``generate_paged`` — ragged continuous-batching
 decode through the Pallas paged-KV decode kernel — with EXACT top-k
@@ -44,11 +46,12 @@ import subprocess
 import sys
 import time
 
-BATCH = 192  # largest serving batch that fits paged bf16 at this tier
+BATCH = 256  # largest serving batch that fits paged bf16 at this tier
 # (round 5: was 128 — the expert weight stream dominates the step and
-# amortizes over rows; B=256 bf16 still exceeds HBM by ~0.6 GB even with
-# row-chunked prefill, tools/probe_decode_batch.py)
-PREFILL_ROW_CHUNK = 96
+# amortizes over rows.  B=256 bf16 fits once (a) prefill appends write
+# page-granular [no transposed-pool scatter temps] and (b) prefill runs
+# in row chunks; tools/probe_decode_batch.py measured 9,041 tok/s here)
+PREFILL_ROW_CHUNK = 128
 PROMPT_LEN = 128
 DECODE_STEPS = 256
 PAGE_SIZE = 128
@@ -276,12 +279,13 @@ def main():
     sec = RESULTS["secondary"]
 
     # ---------------- stage: HEADLINE (paged bf16, exact top-k) ----------------
+    row_chunk = None if smoke else PREFILL_ROW_CHUNK
+
     def run_paged(seed):
         return generate_paged(
             model, params, prompt, None, jax.random.PRNGKey(seed),
             do_sample=True, temperature=0.8, top_k=50,
-            page_size=PAGE_SIZE,
-            prefill_row_chunk=None if smoke else PREFILL_ROW_CHUNK,
+            page_size=PAGE_SIZE, prefill_row_chunk=row_chunk,
             **common,
         )
 
@@ -329,13 +333,27 @@ def main():
     # they duplicated what the headline + combined-int8 stages already
     # show, and the round-4 record died to the driver's timeout)
     def stage_dense():
+        # the dense cache is [L, B, max_T, G, hd] — 12.9 GB at B=256, so
+        # this stage runs at its own largest-fitting batch (128)
+        dense_b = min(batch, 128)
+        dense_prompt = prompt[:dense_b]
+
         def run_dense(seed):
             return generate(
-                model, params, prompt, None, jax.random.PRNGKey(seed),
+                model, params, dense_prompt, None, jax.random.PRNGKey(seed),
                 do_sample=True, temperature=0.8, top_k=50, **common,
             )
 
-        sec["dense_cache_exact_topk_toks_per_sec"] = round(timed(run_dense), 2)
+        out = run_dense(0)
+        jax.device_get(out[0])
+        t0 = time.perf_counter()
+        for i in range(1, N_ITERS + 1):
+            out = run_dense(i)
+            jax.device_get(out[0])
+        sec["dense_cache_exact_topk_toks_per_sec"] = round(
+            dense_b * decode_steps * N_ITERS / (time.perf_counter() - t0), 2
+        )
+        sec["dense_cache_batch"] = dense_b
 
     run_stage("dense", stage_dense)
 
@@ -353,14 +371,15 @@ def main():
         ring_model = TextLM(ring_cfg)
         slots = ring_slots_for_window(1024)
         n_ring_steps = 32
+        ring_b = min(batch, 128)  # ring cache is 5.7 GB at B=128
 
         def ring_many(p):
-            c = ring_model.init_cache(batch, slots, ring=True)
+            c = ring_model.init_cache(ring_b, slots, ring=True)
             c = c.replace(length=jnp.int32(32768 - n_ring_steps - 1))
 
             def body(i, carry):
                 c, acc = carry
-                tok_i = jnp.full((batch, 1), i % 1000 + 1, jnp.int32)
+                tok_i = jnp.full((ring_b, 1), i % 1000 + 1, jnp.int32)
                 logits, c2, _ = ring_model.apply(p, tok_i, cache=c)
                 return (c2, acc + jnp.sum(logits.astype(jnp.float32)))
 
@@ -373,7 +392,7 @@ def main():
         jax.device_get(ring_step(params)[0])  # compile + warm
         t0 = time.perf_counter()
         jax.device_get(ring_step(params)[0])
-        ctx32k_tps = batch * n_ring_steps / (time.perf_counter() - t0)
+        ctx32k_tps = ring_b * n_ring_steps / (time.perf_counter() - t0)
         sec["ctx32k_swa_ring_toks_per_sec"] = round(ctx32k_tps, 2)
 
     run_stage("ring32k", stage_ring32k)
@@ -399,7 +418,7 @@ def main():
             return generate_paged(
                 qmodel, qparams, prompt, None, jax.random.PRNGKey(seed),
                 do_sample=True, temperature=0.8, top_k=50,
-                page_size=PAGE_SIZE, **common,
+                page_size=PAGE_SIZE, prefill_row_chunk=row_chunk, **common,
             )
 
         sec["int8_paged_toks_per_sec"] = round(timed(run_paged_int8), 2)
@@ -410,7 +429,8 @@ def main():
             return generate_paged(
                 qmodel, qparams, prompt, None, jax.random.PRNGKey(seed),
                 do_sample=True, temperature=0.8, top_k=50,
-                page_size=PAGE_SIZE, kv_quant="int8", **common,
+                page_size=PAGE_SIZE, kv_quant="int8",
+                prefill_row_chunk=row_chunk, **common,
             )
 
         sec["int8_w_kv_paged_toks_per_sec"] = round(
@@ -430,7 +450,8 @@ def main():
                 return generate_paged(
                     qmodel, qparams, big_prompt, None, jax.random.PRNGKey(seed),
                     do_sample=True, temperature=0.8, top_k=50,
-                    page_size=PAGE_SIZE, kv_quant="int8", **common,
+                    page_size=PAGE_SIZE, kv_quant="int8",
+                    prefill_row_chunk=row_chunk, **common,
                 )
 
             out = run_b256(0)
@@ -439,7 +460,7 @@ def main():
             for i in range(1, N_ITERS + 1):
                 out = run_b256(i)
                 jax.device_get(out[0])
-            sec["int8_w_kv_paged_b256_toks_per_sec"] = round(
+            sec[f"int8_w_kv_paged_b{big_batch}_toks_per_sec"] = round(
                 big_batch * decode_steps * N_ITERS / (time.perf_counter() - t0),
                 2,
             )
