@@ -46,12 +46,13 @@ import subprocess
 import sys
 import time
 
-BATCH = 256  # largest serving batch that fits paged bf16 at this tier
+BATCH = 352  # largest serving batch that fits paged bf16 at this tier
 # (round 5: was 128 — the expert weight stream dominates the step and
-# amortizes over rows.  B=256 bf16 fits once (a) prefill appends write
+# amortizes over rows.  Larger batches fit once (a) prefill appends write
 # page-granular [no transposed-pool scatter temps] and (b) prefill runs
-# in row chunks; tools/probe_decode_batch.py measured 9,041 tok/s here)
-PREFILL_ROW_CHUNK = 128
+# in row chunks.  tools/probe_decode_batch.py on the chip: B=256 -> 9,041
+# tok/s, B=320 -> 9,935, B=352 -> 10,358; B=384 misses HBM by ~40 MB.
+PREFILL_ROW_CHUNK = 176
 PROMPT_LEN = 128
 DECODE_STEPS = 256
 PAGE_SIZE = 128

@@ -47,13 +47,20 @@ def worker():
     params = model.init(jax.random.PRNGKey(1), prompt[:1, :8])
 
     rc = os.environ.get("PROBE_ROW_CHUNK")
+    kv_quant = None
+    if os.environ.get("PROBE_INT8") == "1":
+        from vats_tpu.inference.quantize import QuantizedModel, quantize_params
+
+        params = quantize_params(params)
+        model = QuantizedModel(model)
+        kv_quant = "int8"
 
     def run(seed):
         return generate_paged(
             model, params, prompt, None, jax.random.PRNGKey(seed),
             do_sample=True, temperature=0.8, top_k=50, page_size=128,
             max_new_tokens=steps, pad_token_id=0, eos_token_id=None,
-            total_len=total_len,
+            total_len=total_len, kv_quant=kv_quant,
             prefill_row_chunk=int(rc) if rc else None,
         )
 
