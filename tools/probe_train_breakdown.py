@@ -127,6 +127,8 @@ def main():
         # dropout-cost isolation: dropout=0 removes both the threefry mask
         # generation AND the mask-multiply HBM traffic
         "full_step_nodrop_ms": ({"dropout": 0.0}, {}, "step"),
+        "full_step_threefry_drop_ms": (
+            {}, {"dropout_rng_impl": "threefry2x32"}, "step"),
         "fwd_bwd_classic_ce_remat_ms": ({}, {}, "grad"),
         # XLA attention under remat='dots' OOMs: the policy saves matmul
         # outputs, and the [B, H, T, T] score matrices ARE matmul outputs

@@ -279,6 +279,13 @@ class TrainingArgs:
     # no measurable loss-curve change (m is a running mean of bf16 grads);
     # v (the variance) always stays fp32.  None = fp32 (reference parity).
     adam_mu_dtype: Optional[str] = None
+    # TPU addition: PRNG implementation for the per-step dropout masks.
+    # JAX's default threefry2x32 generates bits on the VPU (~34 ms/step of
+    # the bench-tier train step goes to the 40 [B, T, d] masks); 'rbg'
+    # uses the XLA RngBitGenerator hardware path (~10x cheaper bits, same
+    # split semantics).  Distribution quality is ample for dropout.
+    # 'threefry2x32' restores the default.
+    dropout_rng_impl: str = "rbg"
 
 
 @dataclass

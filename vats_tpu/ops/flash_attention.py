@@ -704,7 +704,7 @@ def _flash_bwd_kernels(
     return dq[:, :, :t], dk[:, :, :s], dv[:, :, :s]
 
 
-def bwd_block_defaults(block_q, block_k, bwd_block_q, bwd_block_k):
+def bwd_block_defaults(block_q, block_k, bwd_block_q, bwd_block_k, t=None):
     """Backward block-size policy (shared by the custom VJP and the ring
     backward).  The backward kernels keep ~3x the forward\'s live VMEM
     (q/do/k/v blocks + two fp32 [bq, bk] intermediates); their blocks are
@@ -713,7 +713,12 @@ def bwd_block_defaults(block_q, block_k, bwd_block_q, bwd_block_k):
     (bq=256, bk=1024) runs the fwd+bwd pair at 2.14x the XLA path, vs
     0.85x for the old (512, 512) cap — small q blocks pipeline the
     dKV kernel\'s inner accumulation loop, large k blocks keep the MXU
-    fed."""
+    fed.  SHORT sequences (t <= 512, the train tier) prefer full-T blocks:
+    (512, 512) measured 4.69 ms vs the long-seq default\'s 5.50 at
+    B=16/T=512/24h (tools/probe_flash_t512.py) — one grid row beats
+    pipelining when there\'s nothing to pipeline."""
+    if t is not None and t <= 512 and not bwd_block_q and not bwd_block_k:
+        return min(block_q, t), min(block_k, t)
     block_q = bwd_block_q if bwd_block_q else min(block_q, 256)
     if bwd_block_k:
         block_k = bwd_block_k
@@ -737,7 +742,7 @@ def _flash_bwd_rule(
     q, k, v, kv_valid, q_seg, kv_seg, o, lse = residuals
     t = q.shape[2]
     block_q, block_k = bwd_block_defaults(
-        block_q, block_k, bwd_block_q, bwd_block_k
+        block_q, block_k, bwd_block_q, bwd_block_k, t=t
     )
     di2d = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1

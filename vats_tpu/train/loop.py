@@ -37,6 +37,22 @@ def make_train_step_fn(
     """Build the raw (unjitted) training step — callers choose jit/shardings."""
 
     fused_chunk = getattr(training_args, "fused_ce_chunk", None)
+    drop_impl = getattr(training_args, "dropout_rng_impl", "rbg")
+    # grad_accum == 1 -> the optimizer is bare adamw and THIS step owns
+    # clip + skip-on-nonfinite (see create_optimizer)
+    accum_in_step = getattr(training_args, "grad_accum_steps", 1) <= 1
+
+    def _dropout_rng(rng: jax.Array) -> jax.Array:
+        """Re-key the dropout stream onto the configured PRNG impl.
+
+        threefry mask generation cost ~34 ms/step at the bench tier (40
+        [B, T, d] masks); 'rbg' moves bit generation to the XLA
+        RngBitGenerator hardware path.  Seeded from the step rng, so runs
+        stay deterministic given the same incoming key."""
+        if not drop_impl or drop_impl == "threefry2x32":
+            return rng
+        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max)
+        return jax.random.key(seed, impl=drop_impl)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         def loss_fn(params):
@@ -49,7 +65,7 @@ def make_train_step_fn(
                     padding_mask=batch.get("padding_mask"),
                     segment_ids=batch.get("segment_ids"),
                     deterministic=False,
-                    rngs={"dropout": rng},
+                    rngs={"dropout": _dropout_rng(rng)},
                     return_hidden=True,
                 )
                 cfg = model.cfg
@@ -81,7 +97,7 @@ def make_train_step_fn(
                 padding_mask=batch.get("padding_mask"),
                 segment_ids=batch.get("segment_ids"),
                 deterministic=False,
-                rngs={"dropout": rng},
+                rngs={"dropout": _dropout_rng(rng)},
             )
             total, lm, aux = compute_loss(
                 logits, batch["labels"], aux, training_args.aux_loss_weight
@@ -91,15 +107,52 @@ def make_train_step_fn(
         (total, (lm, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        new_state = state.apply_gradients(grads=grads)
+        if accum_in_step:
+            # clip + skip-on-nonfinite HERE, where the global-norm pass
+            # fuses into the backward fusions producing each grad (~8 ms vs
+            # ~60 ms for the same per-leaf pass inside the optax update at
+            # the bench tier); one norm serves clip, the finite test, and
+            # the metric.  Skip semantics match optax.apply_if_finite:
+            # params/opt state untouched, TrainState.skipped_steps counts.
+            gnorm = optax_global_norm(grads)
+            finite = jnp.isfinite(gnorm)
+            clipn = float(training_args.clip_grad_norm)
+            scale = jnp.where(
+                finite,
+                jnp.minimum(1.0, clipn / jnp.maximum(gnorm, 1e-12)),
+                0.0,
+            )
+            grads_scaled = jax.tree_util.tree_map(
+                lambda g: g * scale.astype(g.dtype), grads
+            )
+
+            def do_apply(s):
+                return s.apply_gradients(grads=grads_scaled)
+
+            def do_skip(s):
+                return s.replace(
+                    step=s.step + 1, skipped_steps=s.skipped_steps + 1
+                )
+
+            new_state = jax.lax.cond(finite, do_apply, do_skip, state)
+        else:
+            gnorm = None
+            new_state = state.apply_gradients(grads=grads)
         tokens = jnp.sum(batch["labels"] != IGNORE_INDEX).astype(jnp.int32)
         new_state = new_state.replace(tokens_seen=new_state.tokens_seen + tokens)
+        if gnorm is None:
+            # accumulated path: the fused clip/skip transformation inside
+            # MultiSteps computed the boundary-grad norm — reuse it
+            from vats_tpu.train.optimizer import find_grad_norm
+
+            gn = find_grad_norm(new_state.opt_state)
+            gnorm = gn if gn is not None else optax_global_norm(grads)
         metrics = {
             "loss": total,
             "lm_loss": lm,
             "aux_loss": aux,
             "tokens": tokens,
-            "grad_norm": optax_global_norm(grads),
+            "grad_norm": gnorm,
         }
         return new_state, metrics
 

@@ -96,7 +96,10 @@ def fused_linear_cross_entropy(
         return acc + chunk_nll(h_c, y_c, readout), None
 
     total_nll, _ = jax.lax.scan(
-        body, jnp.zeros((), jnp.float32), (h_chunks, y_chunks)
+        body, jnp.zeros((), jnp.float32), (h_chunks, y_chunks),
+        # unroll pairs of chunks so one chunk's vocab matmul overlaps the
+        # next one's readout-weight stream; keeps peak logits at 2 chunks
+        unroll=2 if nc % 2 == 0 else 1,
     )
     denom = jnp.maximum(jnp.sum(labels != IGNORE_INDEX), 1)
     return total_nll / denom
