@@ -8,6 +8,7 @@ from vats_tpu.train.loop import (
     eval_step,
     make_eval_step,
     make_train_step,
+    make_train_step_fn,
     train,
     validate,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "eval_step",
     "make_eval_step",
     "make_train_step",
+    "make_train_step_fn",
     "train",
     "validate",
 ]

@@ -122,11 +122,13 @@ def make_train_step_fn(
                 jnp.minimum(1.0, clipn / jnp.maximum(gnorm, 1e-12)),
                 0.0,
             )
-            grads_scaled = jax.tree_util.tree_map(
-                lambda g: g * scale.astype(g.dtype), grads
-            )
-
             def do_apply(s):
+                # scale INSIDE the branch: as a cond operand the scaled
+                # tree would materialize 2.8 GB; in here XLA fuses the
+                # multiply into the adamw update's grad reads
+                grads_scaled = jax.tree_util.tree_map(
+                    lambda g: g * scale.astype(g.dtype), grads
+                )
                 return s.apply_gradients(grads=grads_scaled)
 
             def do_skip(s):
